@@ -1,0 +1,278 @@
+"""Ensemble generation engine: batched, jit-cached conformation sampling.
+
+TPU-native replacement for the reference inference CLIs' inner machinery
+(slm/sample_esmdiff.py:66-233):
+
+  - the memory-aware batch planner (L^2 * B budget, sample_esmdiff.py:75,
+    104-112,181-193) is kept, but batches run as identical jitted programs —
+    lengths are padded to buckets so XLA compiles once per bucket;
+  - the 25-step denoising loop is a single on-device ``lax.scan``
+    (diffusion/mdlm.py), not a host loop;
+  - VQ-VAE decoding is batched (one device call for the whole ensemble)
+    instead of the reference's per-sample Python loop
+    (sample_esmdiff.py:225-230).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esmdiff_tpu.core import constants as C
+from esmdiff_tpu.diffusion.gibbs import iterative_unmask_sample
+from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig, shield_special_tokens
+from esmdiff_tpu.diffusion.noise import LogLinearNoise, Noise
+from .protein_api import ESM3Runtime, ESMProtein
+
+# Reference inference memory budget (sample_esmdiff.py:75).
+N_MAX_RESIDUE_SQUARE = 200 * 200 * 105
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    """Parity with esm.sdk.api.GenerationConfig as used by the reference
+    (sample_esmdiff.py:116-119)."""
+
+    track: str = "structure"
+    num_steps: int = 16
+    temperature: float = 1.4
+    top_p: float = 0.9
+
+
+def plan_batches(length_with_specials: int, num_samples: int,
+                 budget: int = N_MAX_RESIDUE_SQUARE,
+                 max_batch: Optional[int] = None) -> list[int]:
+    """Split num_samples into batches with L^2 * B <= budget
+    (reference sample_esmdiff.py:104-112,181-193)."""
+    per = max(1, budget // (length_with_specials * length_with_specials))
+    if max_batch is not None:
+        per = min(per, max_batch)
+    sizes = []
+    left = num_samples
+    while left > 0:
+        b = min(per, left)
+        sizes.append(b)
+        left -= b
+    return sizes
+
+
+def bucket_length(n: int, multiple: int = 32) -> int:
+    """Pad length to a bucket so jit caches stay warm across targets."""
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class EnsembleSampler:
+    """Runs ddpm (fine-tuned MDLM) or gibbs (pretrained iterative-unmask)
+    ensemble generation over an :class:`ESM3Runtime`."""
+
+    def __init__(self, runtime: ESM3Runtime,
+                 noise: Optional[Noise] = None,
+                 mdlm_cfg: MDLMConfig = MDLMConfig()):
+        self.runtime = runtime
+        self.noise = noise or LogLinearNoise()
+        self.mdlm_cfg = mdlm_cfg
+        self.mdlm = MDLM(
+            runtime.trunk,
+            runtime.sigma_embedder,
+            noise=self.noise,
+            cfg=mdlm_cfg,
+        )
+        self._mdlm_params = {
+            "net": runtime.trunk_params,
+            "sigma_embedder": runtime.sigma_params,
+        }
+        self._ddpm_jit_cache: dict = {}
+        self._gibbs_jit_cache: dict = {}
+
+    # -- shared helpers -------------------------------------------------------
+    def _padded_tokens(self, sequence: str, pad_to: Optional[int]):
+        seq_tokens = self.runtime.seq_tokenizer.encode(sequence)
+        Lw = len(seq_tokens)
+        Lpad = bucket_length(Lw) if pad_to is None else pad_to
+        padded = np.full((Lpad,), C.SEQUENCE_PAD_TOKEN, dtype=np.int32)
+        padded[:Lw] = seq_tokens
+        return padded, Lw
+
+    # -- ddpm -----------------------------------------------------------------
+    def _ddpm_fn(self, B: int, L: int, num_steps: int, eps: float,
+                 sample_max_t: float, use_prior: bool):
+        key_shape = (B, L)
+
+        def fn(params, key, seq_tokens, seq_id, prior):
+            sampler = MDLM(
+                self.runtime.trunk, self.runtime.sigma_embedder,
+                noise=self.noise, cfg=self.mdlm_cfg)
+            return sampler.ddpm_sample(
+                params, key, seq_tokens,
+                num_steps=num_steps, eps=eps,
+                input_prior=prior if use_prior else None,
+                sample_max_t=sample_max_t,
+                sequence_id=seq_id,
+            )
+
+        return jax.jit(fn)
+
+    def ddpm_ensemble(
+        self,
+        sequence: str,
+        num_samples: int,
+        num_steps: int = 25,
+        eps: float = 1e-5,
+        seed: int = 0,
+        mask_ids: Optional[Sequence[int]] = None,
+        filled_ids: Optional[Sequence[int]] = None,
+        structure_tokens: Optional[np.ndarray] = None,
+        sample_max_t: float = 1.0,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        max_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Generate ``num_samples`` structure-token strings for ``sequence``.
+
+        Returns (num_samples, L) int32 tokens, BOS/EOS stripped — ready for
+        decode.  When mask_ids/filled_ids are given, ``structure_tokens``
+        (with BOS/EOS) provides the inpainting prior
+        (reference sample_esmdiff.py:196-209).
+        """
+        seq_padded, Lw = self._padded_tokens(sequence, None)
+        Lpad = len(seq_padded)
+
+        use_prior = mask_ids is not None or filled_ids is not None
+        prior_row = np.full((Lpad,), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+        if use_prior:
+            assert structure_tokens is not None
+            prior_row[:Lw] = structure_tokens
+            if mask_ids is not None:
+                for idx in mask_ids:
+                    prior_row[idx + 1] = C.STRUCTURE_MASK_TOKEN  # +1 for BOS
+            else:
+                keep = set(filled_ids)
+                for idx in range(Lw - 2):
+                    if idx not in keep:
+                        prior_row[idx + 1] = C.STRUCTURE_MASK_TOKEN
+        else:
+            prior_row[:Lw] = C.STRUCTURE_MASK_TOKEN
+
+        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        for bi, B in enumerate(sizes):
+            cache_key = (B, Lpad, num_steps, eps, sample_max_t)
+            if cache_key not in self._ddpm_jit_cache:
+                self._ddpm_jit_cache[cache_key] = self._ddpm_fn(
+                    B, Lpad, num_steps, eps, sample_max_t, True)
+            fn = self._ddpm_jit_cache[cache_key]
+            key, k = jax.random.split(key)
+            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
+            prior_b = jnp.asarray(np.tile(prior_row[None], (B, 1)))
+            toks = fn(self._mdlm_params, k, seq_b, seq_id, prior_b)
+            outs.append(np.asarray(toks)[:, :Lw])
+        tokens = np.concatenate(outs, axis=0)
+        return tokens[:, 1:-1]  # strip BOS/EOS (reference :220-221)
+
+    # -- gibbs ----------------------------------------------------------------
+    def gibbs_ensemble(
+        self,
+        sequence: str,
+        num_samples: int,
+        config: GenerationConfig = GenerationConfig(),
+        seed: int = 0,
+        coordinates: Optional[np.ndarray] = None,
+        mask_ids: Optional[Sequence[int]] = None,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        max_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Iterative confidence-ranked unmasking with the (pretrained) trunk
+        (reference minibatch_gibbs_by_esm, sample_esmdiff.py:66-130).
+
+        Returns (num_samples, L) int32 structure tokens, BOS/EOS stripped.
+        """
+        if mask_ids is not None:
+            assert coordinates is not None, "inpainting needs coordinates"
+            sequence = "".join(
+                "_" if i in set(mask_ids) else ch
+                for i, ch in enumerate(sequence)
+            )
+            coordinates = coordinates.copy()
+            coordinates[list(mask_ids)] = np.inf
+
+        seq_padded, Lw = self._padded_tokens(sequence, None)
+        Lpad = len(seq_padded)
+
+        init_row = np.full((Lpad,), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+        init_row[:Lw] = C.STRUCTURE_MASK_TOKEN
+        decode_row = np.zeros((Lpad,), dtype=bool)
+        decode_row[1:Lw - 1] = True
+        if coordinates is not None:
+            # known (finite) coordinates become a fixed prior via the encoder
+            prot = ESMProtein(sequence=sequence, coordinates=coordinates)
+            pt = self.runtime.encode(prot)
+            if pt.structure is not None:
+                known = np.isfinite(coordinates).all(axis=(-1, -2))
+                init_row[1:Lw - 1] = np.where(
+                    known, pt.structure[1:-1], C.STRUCTURE_MASK_TOKEN)
+                decode_row[1:Lw - 1] = ~known
+
+        stock_head = self.runtime.trunk.cfg.head_type == "esm3"
+
+        def forward(tokens, seq_tokens, seq_id):
+            out = self.runtime.trunk.apply(
+                {"params": self.runtime.trunk_params},
+                structure_tokens=tokens,
+                sequence_tokens=seq_tokens,
+                sequence_id=seq_id,
+            )
+            logits = out.structure_logits.astype(jnp.float32)
+            if not stock_head:
+                logits = shield_special_tokens(logits)
+            return logits
+
+        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        for B in sizes:
+            cache_key = (B, Lpad, config.num_steps, config.temperature,
+                         config.top_p)
+            if cache_key not in self._gibbs_jit_cache:
+                def fn(key, init, dmask, seq_tokens, seq_id,
+                       _steps=config.num_steps, _t=config.temperature,
+                       _p=config.top_p):
+                    return iterative_unmask_sample(
+                        lambda toks: forward(toks, seq_tokens, seq_id),
+                        key, init, dmask, num_steps=_steps,
+                        temperature=_t, top_p=_p,
+                    )
+                self._gibbs_jit_cache[cache_key] = jax.jit(fn)
+            fn = self._gibbs_jit_cache[cache_key]
+            key, k = jax.random.split(key)
+            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
+            init_b = jnp.asarray(np.tile(init_row[None], (B, 1)))
+            dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
+            toks = fn(k, init_b, dmask_b, seq_b, seq_id)
+            outs.append(np.asarray(toks)[:, :Lw])
+        tokens = np.concatenate(outs, axis=0)
+        return tokens[:, 1:-1]
+
+    # -- decode to proteins -----------------------------------------------------
+    def decode_ensemble(self, sequence: str, tokens: np.ndarray,
+                        decode_batch: int = 32) -> list[ESMProtein]:
+        """Batched VQ-VAE decode of (N, L) interior tokens."""
+        from esmdiff_tpu.core.tokenizer import StructureTokenizer
+
+        N = tokens.shape[0]
+        wrapped = np.stack([
+            StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
+            for i in range(N)
+        ])
+        prots: list[ESMProtein] = []
+        for s in range(0, N, decode_batch):
+            chunk = wrapped[s:s + decode_batch]
+            prots.extend(
+                self.runtime.decode_batch(chunk, [sequence] * len(chunk)))
+        return prots

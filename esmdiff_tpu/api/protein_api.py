@@ -1,0 +1,192 @@
+"""ESMProtein-style state API over the JAX models.
+
+TPU-native equivalent of the reference's use of ``esm.sdk.api``
+(ESMProtein / ESMProteinTensor, slm/sample_esmdiff.py:13-18,56-61;
+encode/decode glue slm/models/utils.py:98-164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esmdiff_tpu.core import constants as C
+from esmdiff_tpu.core import protein as protein_io
+from esmdiff_tpu.core import residue_constants as rc
+from esmdiff_tpu.core.tokenizer import SequenceTokenizer, StructureTokenizer
+from esmdiff_tpu.models.esm3 import ESM3, ESM3Config
+from esmdiff_tpu.models.vqvae import (
+    DecoderConfig,
+    EncoderConfig,
+    StructureTokenDecoder,
+    StructureTokenEncoder,
+)
+from esmdiff_tpu.nn.layers import TimestepEmbedder
+
+
+@dataclasses.dataclass
+class ESMProtein:
+    """Sequence + optional atom37 coordinates."""
+
+    sequence: str
+    coordinates: Optional[np.ndarray] = None  # (L, 37, 3), NaN where unknown
+
+    @classmethod
+    def from_pdb(cls, path: str | Path, chain_id: str | None = None):
+        prot = protein_io.from_pdb_file(path, chain_id=chain_id)
+        if isinstance(prot, list):
+            prot = prot[0]
+        coords = prot.atom_positions.copy()
+        coords[prot.atom_mask < 0.5] = np.nan
+        return cls(sequence=prot.sequence, coordinates=coords)
+
+    def to_pdb(self, path: str | Path):
+        prot = self.to_protein()
+        protein_io.to_pdb_file(prot, path)
+
+    def to_protein(self) -> protein_io.Protein:
+        L = len(self.sequence)
+        if self.coordinates is None:
+            raise ValueError("No coordinates to write")
+        coords = np.nan_to_num(self.coordinates, nan=0.0)
+        mask = np.isfinite(self.coordinates).all(axis=-1).astype(np.float32)
+        return protein_io.Protein(
+            atom_positions=coords.astype(np.float32),
+            atom_mask=mask,
+            aatype=rc.sequence_to_restype_indices(self.sequence),
+            residue_index=np.arange(1, L + 1, dtype=np.int32),
+            b_factors=np.zeros((L, rc.atom_type_num), dtype=np.float32),
+        )
+
+    def backbone(self) -> np.ndarray:
+        """(L, 3, 3) N/CA/C with NaN where unknown."""
+        idx = list(rc.BACKBONE_ATOM_INDICES)
+        return self.coordinates[:, idx, :]
+
+
+@dataclasses.dataclass
+class ESMProteinTensor:
+    """Tokenized protein (BOS/EOS included on both tracks)."""
+
+    sequence: np.ndarray                      # (L+2,) int32
+    structure: Optional[np.ndarray] = None    # (L+2,) int32
+    coordinates: Optional[np.ndarray] = None  # (L, 37, 3)
+
+
+class ESM3Runtime:
+    """Bundles the trunk + VQ-VAE modules with their parameters and exposes
+    the encode / decode / forward surface the samplers and CLIs use."""
+
+    def __init__(
+        self,
+        trunk: ESM3,
+        trunk_params,
+        encoder: StructureTokenEncoder,
+        encoder_params,
+        decoder: StructureTokenDecoder,
+        decoder_params,
+        sigma_embedder: Optional[TimestepEmbedder] = None,
+        sigma_params=None,
+    ):
+        self.trunk = trunk
+        self.trunk_params = trunk_params
+        self.encoder = encoder
+        self.encoder_params = encoder_params
+        self.decoder = decoder
+        self.decoder_params = decoder_params
+        self.sigma_embedder = sigma_embedder
+        self.sigma_params = sigma_params
+        self.seq_tokenizer = SequenceTokenizer()
+        self._jit_encode = jax.jit(
+            lambda p, bb: self.encoder.apply(p, bb))
+        self._jit_decode = jax.jit(
+            lambda p, t: self.decoder.apply(p, t))
+
+    # -- construction ---------------------------------------------------------
+    @classmethod
+    def random_init(
+        cls,
+        seed: int = 0,
+        trunk_cfg: Optional[ESM3Config] = None,
+        encoder_cfg: Optional[EncoderConfig] = None,
+        decoder_cfg: Optional[DecoderConfig] = None,
+        with_sigma_embedder: bool = True,
+        init_len: int = 16,
+    ) -> "ESM3Runtime":
+        """Random weights — for tests, benchmarks, and pre-conversion dev."""
+        trunk_cfg = trunk_cfg or ESM3Config()
+        encoder_cfg = encoder_cfg or EncoderConfig()
+        decoder_cfg = decoder_cfg or DecoderConfig()
+        keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+        trunk = ESM3(trunk_cfg)
+        seq = jnp.full((1, init_len), 5, dtype=jnp.int32)
+        trunk_params = trunk.init(keys[0], sequence_tokens=seq)["params"]
+        encoder = StructureTokenEncoder(encoder_cfg)
+        bb = jax.random.normal(keys[1], (1, init_len, 3, 3)) * 3.0
+        encoder_params = encoder.init(keys[1], bb)["params"]
+        decoder = StructureTokenDecoder(decoder_cfg)
+        toks = jnp.full((1, init_len), 7, dtype=jnp.int32)
+        decoder_params = decoder.init(keys[2], toks)["params"]
+        sig = sig_params = None
+        if with_sigma_embedder:
+            sig = TimestepEmbedder(
+                hidden_size=trunk_cfg.d_model, dtype=trunk_cfg.jnp_dtype)
+            sig_params = sig.init(
+                keys[3], jnp.zeros((1,), jnp.float32))["params"]
+        return cls(trunk, trunk_params, encoder, encoder_params, decoder,
+                   decoder_params, sig, sig_params)
+
+    # -- encode ---------------------------------------------------------------
+    def encode(self, prot: ESMProtein) -> ESMProteinTensor:
+        """Sequence tokens (+ structure tokens from coordinates if present),
+        with BOS/EOS — the front door of the reference's protseq_to_data
+        (slm/models/utils.py:105-146)."""
+        seq_tokens = self.seq_tokenizer.encode(prot.sequence)
+        structure = None
+        if prot.coordinates is not None:
+            bb = prot.backbone()
+            # Inf coordinates mark positions to inpaint (reference
+            # slm/models/utils.py:117-123): treat non-finite as unknown.
+            tokens, _, valid = self._jit_encode(
+                {"params": self.encoder_params}, jnp.asarray(bb)[None])
+            tokens = np.asarray(tokens[0])
+            structure = StructureTokenizer.add_bos_eos(
+                tokens.astype(np.int32))
+            structure[0] = C.STRUCTURE_BOS_TOKEN
+            structure[-1] = C.STRUCTURE_EOS_TOKEN
+        return ESMProteinTensor(
+            sequence=seq_tokens,
+            structure=structure,
+            coordinates=prot.coordinates,
+        )
+
+    # -- decode ---------------------------------------------------------------
+    def decode(self, pt: ESMProteinTensor) -> ESMProtein:
+        """Structure tokens -> backbone coords -> atom37 protein with inferred
+        oxygen (reference decode, slm/sample_esmdiff.py:41-61 +
+        slm/models/utils.py:45-80)."""
+        prots = self.decode_batch(
+            pt.structure[None], [self.seq_tokenizer.decode(pt.sequence)])
+        return prots[0]
+
+    def decode_batch(self, structure_tokens, sequences) -> list[ESMProtein]:
+        """Batched VQ-VAE decode — the reference decodes per sample in a
+        Python loop (sample_esmdiff.py:225-230); here one batched device call.
+
+        structure_tokens: (N, L+2) with BOS/EOS; sequences: list of N strings.
+        """
+        out = self._jit_decode(
+            {"params": self.decoder_params}, jnp.asarray(structure_tokens))
+        bb = np.asarray(out["bb_pred"])[:, 1:-1]  # strip BOS/EOS
+        prots = []
+        for i, seq in enumerate(sequences):
+            p = protein_io.from_backbone(bb[i], sequence=seq)
+            coords = p.atom_positions.copy()
+            coords[p.atom_mask < 0.5] = np.nan
+            prots.append(ESMProtein(sequence=seq, coordinates=coords))
+        return prots

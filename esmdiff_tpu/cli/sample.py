@@ -1,0 +1,132 @@
+"""Conformation-ensemble sampling CLI.
+
+TPU-native equivalent of the reference's flagship inference entry point
+(slm/sample_esmdiff.py:236-294): per-target PDB in a directory -> N sampled
+conformations -> one multi-MODEL PDB per target.
+
+Modes:
+  gibbs — iterative confidence-ranked unmasking with the (pretrained) trunk
+  ddpm  — fine-tuned ESMDiff ancestral masked-diffusion sampling
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from esmdiff_tpu.api.generation import EnsembleSampler, GenerationConfig
+from esmdiff_tpu.api.protein_api import ESM3Runtime, ESMProtein
+from esmdiff_tpu.core import protein as protein_io
+
+
+def build_runtime(args) -> ESM3Runtime:
+    if args.ckpt:
+        from esmdiff_tpu.convert.checkpoints import load_runtime
+        return load_runtime(args.ckpt)
+    from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
+    from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+    head = "structure" if args.mode == "ddpm" else "esm3"
+    if args.model_scale == "full":
+        return ESM3Runtime.random_init(
+            seed=args.seed, trunk_cfg=ESM3Config(head_type=head))
+    return ESM3Runtime.random_init(
+        seed=args.seed,
+        trunk_cfg=esm3_tiny(head_type=head, dtype="float32"),
+        encoder_cfg=EncoderConfig(d_model=64, n_heads=2, v_heads=8,
+                                  n_layers=2, d_out=16, knn=8),
+        decoder_cfg=DecoderConfig(d_model=64, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+    )
+
+
+def get_argparser():
+    p = argparse.ArgumentParser(
+        description="Sample protein conformation ensembles (TPU-native).")
+    p.add_argument("--input", type=str, default="data/targets/bpti",
+                   help="Directory of target .pdb files.")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="Checkpoint (orbax dir or converted .pt). None = "
+                        "random weights (dev only).")
+    p.add_argument("--output", type=str, default="output/inference_esmdiff")
+    p.add_argument("--mode", type=str, default="gibbs",
+                   choices=["gibbs", "ddpm"])
+    p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--num_samples", type=int, default=10)
+    p.add_argument("--mask_ids", type=str, default=None,
+                   help="Comma-separated 0-based residue indices to inpaint.")
+    p.add_argument("--temperature", type=float, default=1.4)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_scale", type=str, default="full",
+                   choices=["full", "tiny"],
+                   help="Trunk size when no ckpt is given.")
+    p.add_argument("--max_batch", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = get_argparser().parse_args(argv)
+    data_path = Path(args.input)
+    assert data_path.is_dir(), f"--input must be a directory: {data_path}"
+    output_dir = Path(args.output)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    runtime = build_runtime(args)
+    sampler = EnsembleSampler(runtime)
+    mask_ids = (
+        [int(i) for i in args.mask_ids.split(",")] if args.mask_ids else None
+    )
+
+    targets = sorted(p for p in data_path.iterdir() if p.suffix == ".pdb")
+    report = []
+    for path in targets:
+        prot = ESMProtein.from_pdb(path)
+        seq = prot.sequence
+        t0 = time.time()
+        if args.mode == "gibbs":
+            tokens = sampler.gibbs_ensemble(
+                seq, args.num_samples,
+                config=GenerationConfig(
+                    num_steps=args.num_steps, temperature=args.temperature,
+                    top_p=args.top_p),
+                seed=args.seed,
+                coordinates=prot.coordinates if mask_ids else None,
+                mask_ids=mask_ids,
+                max_batch=args.max_batch,
+            )
+        else:
+            structure_tokens = None
+            if mask_ids:
+                pt = runtime.encode(prot)
+                structure_tokens = pt.structure
+            tokens = sampler.ddpm_ensemble(
+                seq, args.num_samples, num_steps=args.num_steps,
+                seed=args.seed, mask_ids=mask_ids,
+                structure_tokens=structure_tokens,
+                max_batch=args.max_batch,
+            )
+        t_tokens = time.time() - t0
+        prots = sampler.decode_ensemble(seq, tokens)
+        t_total = time.time() - t0
+
+        out_file = output_dir / f"{path.stem}.pdb"
+        protein_io.ensemble_to_pdb_file(
+            [p.to_protein() for p in prots], out_file)
+        print(f"[{path.stem}] {args.num_samples} samples x "
+              f"{args.num_steps} steps: tokens {t_tokens:.2f}s, "
+              f"total {t_total:.2f}s -> {out_file}")
+        report.append({
+            "target": path.stem, "L": len(seq),
+            "num_samples": args.num_samples,
+            "sampling_sec": t_tokens, "total_sec": t_total,
+        })
+    (output_dir / "timings.json").write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Confidence-ranked iterative unmasking (ESM3 "Gibbs" inpainting sampler).
+
+TPU-native reproduction of the observable contract of
+``esm.utils.generation.iterative_sampling_raw`` as used by the reference's
+gibbs mode (slm/sample_esmdiff.py:66-130: track="structure", num_steps,
+temperature, top_p):
+
+  each step runs one full trunk forward, samples structure tokens at masked
+  positions with temperature/top-p, and commits the most confident ones so the
+  total unmasked count follows a cosine schedule over ``num_steps``.
+
+The whole loop is a single jitted ``lax.scan``; batch elements may have
+different masked counts (inpainting), handled with per-element dynamic
+unmasking quotas.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from esmdiff_tpu.core import constants as C
+
+
+def top_p_filter(logits, top_p: float):
+    """Nucleus filtering: suppress tokens outside the smallest set with
+    cumulative probability >= top_p."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative prob *before* them is < top_p
+    keep_sorted = (cum - probs) < top_p
+    # threshold logit = smallest kept logit
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits >= thresh, logits, -1e9)
+
+
+def cosine_unmask_schedule(num_steps: int):
+    """Fraction of initially-masked tokens that must be unmasked after each
+    step k (monotone to 1.0 at the final step)."""
+    k = jnp.arange(1, num_steps + 1, dtype=jnp.float32)
+    return 1.0 - jnp.cos(k / num_steps * jnp.pi / 2.0) ** 2
+
+
+def iterative_unmask_sample(
+    forward_logits_fn,
+    key,
+    initial_tokens,
+    decode_mask,
+    num_steps: int = 16,
+    temperature: float = 1.4,
+    top_p: float = 0.9,
+):
+    """Run the iterative unmasking loop.
+
+    forward_logits_fn: (tokens (B, L)) -> (B, L, V) raw structure logits
+        (specials should already be shielded by the caller if V == 4101).
+    initial_tokens: (B, L) int32; positions to generate hold STRUCTURE_MASK.
+    decode_mask: (B, L) bool — positions eligible for generation (True where
+        initially masked and not BOS/EOS/PAD).
+    Returns (B, L) int32 tokens with all decode positions committed.
+    """
+    B, L = initial_tokens.shape
+    decode_mask = decode_mask & (initial_tokens == C.STRUCTURE_MASK_TOKEN)
+    n_init = jnp.sum(decode_mask, axis=-1)  # (B,)
+    quotas = jnp.ceil(
+        cosine_unmask_schedule(num_steps)[None, :] * n_init[:, None]
+    ).astype(jnp.int32)  # (B, num_steps)
+
+    def step(carry, inputs):
+        x, key = carry
+        quota = inputs  # (B,) total tokens that must be unmasked after this step
+        key, k_samp = jax.random.split(key)
+        logits = forward_logits_fn(x).astype(jnp.float32)
+        scaled = logits / jnp.maximum(temperature, 1e-4)
+        scaled = top_p_filter(scaled, top_p)
+        gumbel = -jnp.log(
+            -jnp.log(jax.random.uniform(k_samp, scaled.shape) + 1e-20) + 1e-20
+        )
+        sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
+
+        still_masked = (x == C.STRUCTURE_MASK_TOKEN) & decode_mask
+        conf = jnp.where(still_masked, conf, -jnp.inf)
+        # rank masked positions by confidence (descending)
+        order = jnp.argsort(-conf, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        already = jnp.sum(decode_mask & (x != C.STRUCTURE_MASK_TOKEN), axis=-1)
+        n_new = jnp.maximum(quota - already, 0)  # (B,)
+        commit = still_masked & (ranks < n_new[:, None])
+        x = jnp.where(commit, sampled, x)
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (initial_tokens.astype(jnp.int32), key), quotas.T
+    )
+    return x

@@ -1,0 +1,306 @@
+"""Masked Diffusion Language Modeling (ESMDiff) — objective and sampler.
+
+TPU-native re-design of the reference ``MaskedDiffusionLanguageModeling``
+(slm/models/model.py:316-607).  Differences from the torch original are
+structural, not behavioral:
+
+  - everything is a pure function over an explicit param pytree;
+  - the ancestral sampler (reference ddpm_sample/_ddpm_update,
+    model.py:543-607 — a Python loop of 25 full-trunk forwards) compiles to a
+    SINGLE jitted ``lax.scan``, so a whole denoising trajectory runs on-device
+    with no host round-trips;
+  - Gumbel categorical sampling uses jax.random (distributional parity, not
+    bitwise RNG parity — see SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from esmdiff_tpu.core import constants as C
+from .noise import LogLinearNoise, Noise
+
+NEG_INFINITY = -1e6
+
+
+@dataclasses.dataclass(frozen=True)
+class MDLMConfig:
+    time_conditioning: bool = True
+    change_of_variables: bool = False
+    importance_sampling: bool = False
+    antithetic_sampling: bool = True
+    noise_removal: bool = True
+    structure_only: bool = False
+    sequence_prediction: bool = False
+    condition_dropout: float = 0.0
+    condition_mask_rate: float = 0.0
+    coupled_condition_mask: bool = False
+    sampling_eps: float = 1e-3
+    T: int = 0  # 0 = continuous time
+    mask_index: int = C.STRUCTURE_MASK_TOKEN
+    condition_mask_index: int = C.SEQUENCE_MASK_TOKEN
+    vocab_size: int = C.STRUCTURE_VOCAB_SIZE
+
+
+# A trunk closure: (params, structure_tokens, sequence_tokens, aux_embeddings)
+# -> (structure_logits, sequence_logits)
+TrunkFn = Callable[..., tuple[jnp.ndarray, Optional[jnp.ndarray]]]
+
+
+def sample_t(key, n: int, cfg: MDLMConfig, noise: Noise):
+    """Antithetic low-discrepancy time sampling (reference model.py:517-525)."""
+    eps_t = jax.random.uniform(key, (n,))
+    if cfg.antithetic_sampling:
+        offset = jnp.arange(n, dtype=jnp.float32) / n
+        eps_t = (eps_t / n + offset) % 1.0
+    t = (1 - cfg.sampling_eps) * eps_t + cfg.sampling_eps
+    if cfg.importance_sampling:
+        t = noise.importance_sampling_transformation(t)
+    return t
+
+
+def q_xt(key, x0, move_chance, cfg: MDLMConfig, condition_seq=None,
+         non_moving_mask=None):
+    """Forward diffusion: mask each token with prob move_chance
+    (reference model.py:494-512)."""
+    move = jax.random.uniform(key, x0.shape) < move_chance
+    if non_moving_mask is not None:
+        move = move & (~non_moving_mask.astype(bool))
+    xt = jnp.where(move, cfg.mask_index, x0)
+    if cfg.coupled_condition_mask and condition_seq is not None:
+        condition_seq = jnp.where(move, cfg.condition_mask_index, condition_seq)
+    return xt, condition_seq
+
+
+def logits_parameterization(logits, xt, cfg: MDLMConfig):
+    """SUBS parameterization (reference model.py:527-533): zero probability on
+    the mask token; unmasked positions carry themselves over with prob 1."""
+    mask_onehot = jax.nn.one_hot(
+        jnp.asarray(cfg.mask_index), logits.shape[-1], dtype=logits.dtype
+    )
+    logits = logits + mask_onehot * NEG_INFINITY
+    logits = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    unmasked = xt != cfg.mask_index
+    carry = jnp.where(
+        jax.nn.one_hot(xt, logits.shape[-1], dtype=jnp.bool_),
+        0.0, NEG_INFINITY,
+    ).astype(logits.dtype)
+    return jnp.where(unmasked[..., None], carry, logits)
+
+
+def shield_special_tokens(logits):
+    """Suppress the 5 structure special tokens during sampling
+    (reference model.py:484-486)."""
+    shield = jnp.concatenate([
+        jnp.zeros((C.VQVAE_CODEBOOK_SIZE,), logits.dtype),
+        jnp.full((C.STRUCTURE_NUM_SPECIAL_TOKENS,), NEG_INFINITY, logits.dtype),
+    ])
+    return logits + shield
+
+
+def sample_categorical(key, probs):
+    """Gumbel-max categorical over unnormalized probs (reference model.py:24-28)."""
+    gumbel_norm = 1e-10 - jnp.log(
+        jax.random.uniform(key, probs.shape) + 1e-10
+    )
+    return jnp.argmax(probs / gumbel_norm, axis=-1)
+
+
+class MDLM:
+    """Bundles trunk apply-fn, sigma embedder, noise schedule and config.
+
+    ``params`` pytrees look like {"net": ..., "sigma_embedder": ...}.
+    """
+
+    def __init__(self, net, sigma_embedder, noise: Optional[Noise] = None,
+                 cfg: MDLMConfig = MDLMConfig()):
+        self.net = net              # flax ESM3 module
+        self.sigma_embedder = sigma_embedder  # flax TimestepEmbedder
+        self.noise = noise if noise is not None else LogLinearNoise()
+        self.cfg = cfg
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key, batch_size: int = 1, length: int = 8):
+        k1, k2 = jax.random.split(key)
+        seq = jnp.full((batch_size, length), C.SEQUENCE_MASK_TOKEN, jnp.int32)
+        net_params = self.net.init(k1, sequence_tokens=seq)["params"]
+        se_params = self.sigma_embedder.init(
+            k2, jnp.zeros((batch_size,), jnp.float32))["params"]
+        return {"net": net_params, "sigma_embedder": se_params}
+
+    # -- forward ------------------------------------------------------------
+    def _process_sigma(self, sigma):
+        if sigma.ndim > 1:
+            sigma = sigma.squeeze(-1)
+        if not self.cfg.time_conditioning:
+            sigma = jnp.zeros_like(sigma)
+        return sigma
+
+    def forward_logits(self, params, xt, condition_seq, sigma,
+                       shield_specials: bool = False, sequence_id=None):
+        """Full conditioned forward -> parameterized log-probs
+        (reference _model_wrapper, model.py:464-492)."""
+        if sigma is not None:
+            sigma = self._process_sigma(sigma)
+            cond = self.sigma_embedder.apply(
+                {"params": params["sigma_embedder"]}, sigma)
+            aux = jnp.tile(cond[:, None, :], (1, xt.shape[1], 1))
+        else:
+            aux = None
+        out = self.net.apply(
+            {"params": params["net"]},
+            structure_tokens=xt,
+            sequence_tokens=condition_seq,
+            sequence_id=sequence_id,
+            auxiliary_embeddings=aux,
+        )
+        logits = logits_parameterization(out.structure_logits, xt, self.cfg)
+        if shield_specials:
+            logits = shield_special_tokens(logits)
+        seq_logits = out.sequence_logits if self.cfg.sequence_prediction else None
+        return logits, seq_logits
+
+    # -- training objective ---------------------------------------------------
+    def loss(self, params, batch: dict, key, training: bool = True):
+        """Continuous-time NELBO (reference model_step, model.py:386-462).
+
+        batch: structure_tokens (B, L) int, sequence_tokens (B, L) int,
+        mask (B, L), optional non_moving_mask.
+        Returns (loss, dict of breakdown metrics).
+        """
+        cfg = self.cfg
+        x0 = batch["structure_tokens"]
+        labels = x0
+        condition_seq = batch["sequence_tokens"]
+        B, L = x0.shape
+        k_drop, k_cmask, k_t, k_q = jax.random.split(key, 4)
+
+        if cfg.condition_dropout > 0 and training:
+            drop = jax.random.uniform(k_drop) < cfg.condition_dropout
+            condition_seq = jnp.where(
+                drop, jnp.full_like(condition_seq, C.SEQUENCE_MASK_TOKEN),
+                condition_seq)
+        if cfg.condition_mask_rate > 0 and training:
+            m = (
+                jax.random.uniform(k_cmask, condition_seq.shape)
+                < cfg.condition_mask_rate
+            ) & (condition_seq != C.SEQUENCE_PAD_TOKEN)
+            condition_seq = jnp.where(m, C.SEQUENCE_MASK_TOKEN, condition_seq)
+        if cfg.structure_only:
+            condition_seq = jnp.full_like(condition_seq, C.SEQUENCE_MASK_TOKEN)
+
+        loss_mask = batch["mask"] * (labels != C.STRUCTURE_PAD_TOKEN)
+
+        t = sample_t(k_t, B, cfg, self.noise)
+        if cfg.T > 0:
+            t = (t * cfg.T).astype(jnp.int32).astype(jnp.float32) / cfg.T
+            t = t + 1.0 / cfg.T
+
+        if cfg.change_of_variables:
+            net_conditioning = t[:, None]
+            f_T = jnp.log1p(-jnp.exp(-self.noise.sigma_max))
+            f_0 = jnp.log1p(-jnp.exp(-self.noise.sigma_min))
+            move_chance = jnp.exp(f_0 + t * (f_T - f_0))[:, None]
+            dsigma = sigma = None
+        else:
+            sigma, dsigma = self.noise(t)
+            net_conditioning = sigma[:, None]
+            move_chance = (1 - jnp.exp(-sigma))[:, None]
+
+        xt, condition_seq = q_xt(
+            k_q, x0, move_chance, cfg, condition_seq=condition_seq,
+            non_moving_mask=batch.get("non_moving_mask"),
+        )
+        logits, seq_logits = self.forward_logits(
+            params, xt, condition_seq, net_conditioning)
+
+        log_p_theta = jnp.take_along_axis(
+            logits, x0[:, :, None], axis=-1
+        ).squeeze(-1)
+
+        if cfg.change_of_variables or cfg.importance_sampling:
+            per_tok = log_p_theta * jnp.log1p(-jnp.exp(-self.noise.sigma_min))
+        else:
+            per_tok = -log_p_theta * (dsigma / jnp.expm1(sigma))[:, None]
+
+        denom = jnp.maximum(loss_mask.sum(), 1.0)
+        loss = (per_tok * loss_mask).sum() / denom
+        breakdown = {"nelbo": loss}
+
+        if cfg.sequence_prediction:
+            seq_lp = jax.nn.log_softmax(
+                seq_logits.astype(jnp.float32), axis=-1)
+            seq_nll = -jnp.take_along_axis(
+                seq_lp, batch["sequence_tokens"][:, :, None], axis=-1
+            ).squeeze(-1)
+            seq_nll = jnp.where(
+                batch["sequence_tokens"] == C.SEQUENCE_PAD_TOKEN, 0.0, seq_nll)
+            seq_nll = (seq_nll * loss_mask).sum() / denom
+            loss = loss + seq_nll
+            breakdown["seq_nll"] = seq_nll
+        return loss, breakdown
+
+    # -- ancestral sampler ----------------------------------------------------
+    def ddpm_sample(
+        self,
+        params,
+        key,
+        sequence_tokens,
+        num_steps: int = 25,
+        eps: float = 1e-5,
+        input_prior=None,
+        sample_max_t: float = 1.0,
+        shield_specials: bool = True,
+        sequence_id=None,
+    ):
+        """25-step ancestral denoising as one ``lax.scan``
+        (reference ddpm_sample/_ddpm_update, model.py:543-607).
+
+        sequence_tokens: (B, L) int conditioning (with BOS/EOS).
+        input_prior: optional (B, L) partially-masked tokens for inpainting.
+        Returns (B, L) int32 structure tokens (with BOS/EOS slots).
+        """
+        cfg = self.cfg
+        B, L = sequence_tokens.shape
+        if input_prior is None:
+            x = jnp.full((B, L), cfg.mask_index, dtype=jnp.int32)
+        else:
+            x = input_prior.astype(jnp.int32)
+
+        timesteps = jnp.linspace(sample_max_t, eps, num_steps + 1)
+        dt = (1 - eps) / num_steps
+
+        def step(carry, t):
+            x, key = carry
+            key, k_cat = jax.random.split(key)
+            tb = jnp.full((B,), t, dtype=jnp.float32)
+            sigma_t = self.noise.total_noise(tb)
+            sigma_s = self.noise.total_noise(tb - dt)
+            mc_t = (1 - jnp.exp(-sigma_t))[:, None, None]
+            mc_s = (1 - jnp.exp(-sigma_s))[:, None, None]
+            log_p_x0, _ = self.forward_logits(
+                params, x, sequence_tokens, sigma_t[:, None],
+                shield_specials=shield_specials, sequence_id=sequence_id,
+            )
+            q_xs = jnp.exp(log_p_x0) * (mc_t - mc_s)
+            q_xs = q_xs.at[:, :, cfg.mask_index].set(mc_s[:, :, 0])
+            x_new = sample_categorical(k_cat, q_xs).astype(jnp.int32)
+            copy = x != cfg.mask_index
+            x = jnp.where(copy, x, x_new)
+            return (x, key), None
+
+        (x, key), _ = jax.lax.scan(step, (x, key), timesteps[:-1])
+
+        if cfg.noise_removal:
+            tb = jnp.full((B,), timesteps[-1], dtype=jnp.float32)
+            sigma_t = self.noise.total_noise(tb)
+            logits, _ = self.forward_logits(
+                params, x, sequence_tokens, sigma_t[:, None],
+                shield_specials=shield_specials, sequence_id=sequence_id,
+            )
+            x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return x

@@ -1,0 +1,160 @@
+"""Core transformer building blocks of the ESM3 trunk, in flax.linen.
+
+TPU-first reimplementation of the layer semantics the reference pulls from the
+``esm`` package (TransformerStack blocks: pre-norm attention with QK-layernorm
++ rotary, SwiGLU FFN, 1/sqrt(n_layers/36) residual scaling; RegressionHead).
+See SURVEY.md §2a for the parity table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .attention import dot_product_attention
+from .rotary import apply_rotary
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32, no bias (ESM3 convention)."""
+
+    use_bias: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-5))
+        scale = self.param(
+            "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
+        )
+        y = y * scale
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (x.shape[-1],), self.param_dtype
+            )
+            y = y + bias
+        return y.astype(orig_dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """ESM3 attention: fused LN+QKV projection, per-track QK layernorm over the
+    full model dim, rotary applied per head, no biases."""
+
+    d_model: int
+    n_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, rot_cos, rot_sin, mask=None):
+        B, L, D = x.shape
+        dh = self.d_model // self.n_heads
+        h = LayerNorm(name="ln")(x)
+        qkv = nn.Dense(
+            3 * self.d_model, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="qkv",
+        )(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = LayerNorm(name="q_ln")(q)
+        k = LayerNorm(name="k_ln")(k)
+        q = q.reshape(B, L, self.n_heads, dh)
+        k = k.reshape(B, L, self.n_heads, dh)
+        v = v.reshape(B, L, self.n_heads, dh)
+        q = apply_rotary(q, rot_cos, rot_sin)
+        k = apply_rotary(k, rot_cos, rot_sin)
+        o = dot_product_attention(q, k, v, mask=mask, backend=self.attn_backend)
+        o = o.reshape(B, L, self.d_model)
+        return nn.Dense(
+            self.d_model, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="out",
+        )(o)
+
+
+class SwiGLUFFN(nn.Module):
+    """Pre-norm SwiGLU MLP: LN -> Dense(d, 2h) -> silu(a)*b -> Dense(h, d)."""
+
+    d_model: int
+    hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = LayerNorm(name="ln")(x)
+        up = nn.Dense(
+            2 * self.hidden, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="up",
+        )(h)
+        a, b = jnp.split(up, 2, axis=-1)
+        h = nn.silu(a) * b
+        return nn.Dense(
+            self.d_model, use_bias=False, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="down",
+        )(h)
+
+
+def swiglu_hidden_dim(d_model: int, expansion_ratio: float = 8 / 3) -> int:
+    """SwiGLU hidden width rounded up to a multiple of 256 (MXU-friendly and
+    matches ESM3: d_model=1536 -> 4096)."""
+    return int(((expansion_ratio * d_model) + 255) // 256 * 256)
+
+
+class RegressionHead(nn.Module):
+    """Dense -> GELU -> LayerNorm -> Dense projection head (reference
+    slm/models/net.py:301-303 uses esm's RegressionHead)."""
+
+    output_dim: int
+    hidden_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.hidden_dim or x.shape[-1]
+        h = nn.Dense(
+            hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="dense",
+        )(x)
+        h = nn.gelu(h)
+        h = LayerNorm(use_bias=True, name="ln")(h)
+        out = nn.Dense(
+            self.output_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="out",
+        )(h)
+        return out.astype(jnp.float32)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequency embedding + 2-layer SiLU MLP (reference
+    slm/models/net.py:486-522)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    max_period: float = 10000.0
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        half = self.frequency_embedding_size // 2
+        freqs = jnp.exp(
+            -jnp.log(self.max_period)
+            * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        h = nn.Dense(
+            self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc1",
+        )(emb.astype(self.dtype))
+        h = nn.silu(h)
+        return nn.Dense(
+            self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="fc2",
+        )(h)

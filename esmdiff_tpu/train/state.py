@@ -1,0 +1,106 @@
+"""Train state + sharded training step.
+
+Replaces the reference's Lightning/DeepSpeed wiring (slm/models/model.py:218-244,
+configs/trainer/deepspeed.yaml): optax AdamW, parameters replicated across the
+``data`` mesh axis, optimizer moments sharded along it (ZeRO-2 analogue, see
+SURVEY.md §2b).  One jitted step = forward + backward + update; XLA inserts
+the gradient all-reduce and the moment reduce-scatter/all-gather from the
+sharding annotations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from esmdiff_tpu.parallel import mesh as pmesh
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.01,
+                   warmup_steps: int = 0,
+                   grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+    """AdamW with optional warmup-to-constant schedule (reference uses AdamW
+    lr 1e-5, configs/model/default.yaml + optional constant-with-warmup)."""
+    if warmup_steps > 0:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        sched = lr
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(sched, weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def create_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """Params replicated; optimizer moments ZeRO-sharded on ``data``."""
+    return TrainState(
+        step=pmesh.replicated(mesh),
+        params=pmesh.replicated_shardings(state.params, mesh),
+        opt_state=pmesh.zero_shardings(state.opt_state, mesh),
+    )
+
+
+def make_train_step(loss_fn: Callable, optimizer,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True):
+    """loss_fn(params, batch, key) -> (loss, metrics dict).
+
+    Returns jitted step(state, batch, key) -> (state, metrics).  When a mesh
+    is given, inputs/outputs carry explicit shardings (dp batch, replicated
+    params, ZeRO opt state).
+    """
+
+    def step(state: TrainState, batch, key):
+        (loss, bd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(bd)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def wrapped(state, batch, key):
+        return step(state, batch, key)
+
+    return jax.jit(
+        wrapped,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def eval_step_fn(loss_fn: Callable):
+    def eval_step(params, batch, key):
+        loss, bd = loss_fn(params, batch, key)
+        bd = dict(bd)
+        bd["loss"] = loss
+        return bd
+    return jax.jit(eval_step)

@@ -1,14 +1,24 @@
 """Test harness config: run everything on an 8-device virtual CPU mesh so
-multi-chip sharding logic is exercised without TPU hardware."""
+multi-chip sharding logic is exercised without TPU hardware.
+
+Note: this environment ships a TPU plugin ('axon') that wins platform
+selection over the JAX_PLATFORMS env var, so the CPU override must go through
+jax.config before any backend is initialized.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

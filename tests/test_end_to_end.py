@@ -1,0 +1,100 @@
+"""End-to-end slice: BPTI -> tokens -> ensemble -> multi-MODEL PDB
+(BASELINE.json config #1, tiny trunk on CPU)."""
+
+import numpy as np
+import pytest
+
+from esmdiff_tpu.api.generation import EnsembleSampler, GenerationConfig, plan_batches
+from esmdiff_tpu.api.protein_api import ESM3Runtime, ESMProtein
+from esmdiff_tpu.core import protein as protein_io
+from esmdiff_tpu.models.esm3 import esm3_tiny
+from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+
+
+@pytest.fixture(scope="module")
+def tiny_runtime():
+    return ESM3Runtime.random_init(
+        seed=0,
+        trunk_cfg=esm3_tiny(dtype="float32", head_type="structure"),
+        encoder_cfg=EncoderConfig(d_model=32, n_heads=2, v_heads=4,
+                                  n_layers=2, d_out=8, knn=8),
+        decoder_cfg=DecoderConfig(d_model=32, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def gibbs_runtime():
+    return ESM3Runtime.random_init(
+        seed=0,
+        trunk_cfg=esm3_tiny(dtype="float32", head_type="esm3"),
+        encoder_cfg=EncoderConfig(d_model=32, n_heads=2, v_heads=4,
+                                  n_layers=2, d_out=8, knn=8),
+        decoder_cfg=DecoderConfig(d_model=32, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+        with_sigma_embedder=False,
+    )
+
+
+def test_plan_batches():
+    assert sum(plan_batches(60, 100)) == 100
+    assert plan_batches(60, 5) == [5]
+    # budget binds for long proteins
+    sizes = plan_batches(1000, 100)
+    assert all(s <= 4 for s in sizes) and sum(sizes) == 100
+
+
+def test_encode_bpti(tiny_runtime):
+    prot = ESMProtein.from_pdb(BPTI)
+    pt = tiny_runtime.encode(prot)
+    L = len(prot.sequence)
+    assert pt.sequence.shape == (L + 2,)
+    assert pt.structure.shape == (L + 2,)
+    assert pt.structure[0] == 4098 and pt.structure[-1] == 4097
+
+
+def test_ddpm_end_to_end(tiny_runtime, tmp_path):
+    prot = ESMProtein.from_pdb(BPTI)
+    sampler = EnsembleSampler(tiny_runtime)
+    tokens = sampler.ddpm_ensemble(prot.sequence, num_samples=3, num_steps=4)
+    L = len(prot.sequence)
+    assert tokens.shape == (3, L)
+    assert (tokens < 4096).all()
+    prots = sampler.decode_ensemble(prot.sequence, tokens)
+    assert len(prots) == 3
+    out = tmp_path / "bpti_ens.pdb"
+    protein_io.ensemble_to_pdb_file([p.to_protein() for p in prots], out)
+    loaded = protein_io.from_pdb_file(out)
+    assert isinstance(loaded, list) and len(loaded) == 3
+    assert loaded[0].sequence == prot.sequence
+
+
+def test_ddpm_inpainting_end_to_end(tiny_runtime):
+    prot = ESMProtein.from_pdb(BPTI)
+    pt = tiny_runtime.encode(prot)
+    sampler = EnsembleSampler(tiny_runtime)
+    mask_ids = [1, 2, 3, 4, 5]
+    tokens = sampler.ddpm_ensemble(
+        prot.sequence, num_samples=2, num_steps=4,
+        mask_ids=mask_ids, structure_tokens=pt.structure,
+    )
+    interior = pt.structure[1:-1]
+    keep = np.ones(len(prot.sequence), dtype=bool)
+    keep[mask_ids] = False
+    # non-masked tokens are preserved exactly
+    np.testing.assert_array_equal(tokens[0][keep], interior[keep])
+    np.testing.assert_array_equal(tokens[1][keep], interior[keep])
+
+
+def test_gibbs_end_to_end(gibbs_runtime):
+    prot = ESMProtein.from_pdb(BPTI)
+    sampler = EnsembleSampler(gibbs_runtime)
+    tokens = sampler.gibbs_ensemble(
+        prot.sequence, num_samples=2,
+        config=GenerationConfig(num_steps=4, temperature=1.4, top_p=0.9),
+    )
+    L = len(prot.sequence)
+    assert tokens.shape == (2, L)
+    assert (tokens < 4096).all()
