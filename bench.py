@@ -5,13 +5,13 @@ Prints ONE JSON line:
 
 Workload = the reference's canonical config (README.md:64-67): BPTI (58
 residues), 25 denoising steps, full-size trunk (d_model 1536, 48 layers,
-bf16).  The sampler runs as a single jitted lax.scan; weights are random
-(identical FLOPs/memory traffic to converted weights).
+bf16).  The whole trajectory runs as a single jitted lax.scan on device.
+Weights are zero-initialized (identical FLOPs/memory traffic to converted
+weights; values don't affect throughput).
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
-the comparison point is the PyTorch reference's *own instrumented workload*
-estimated on its dev GPU from its memory-budget constants — recorded here as
-conservative 1.0 until a measured A100 number exists.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+1.0 = this framework's own round-1 reference point until a measured PyTorch
+A100 number exists.
 """
 
 import json
@@ -19,45 +19,57 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
-    from esmdiff_tpu.api.generation import EnsembleSampler
-    from esmdiff_tpu.api.protein_api import ESM3Runtime, ESMProtein
-    from esmdiff_tpu.models.esm3 import ESM3Config
+    from esmdiff_tpu.core import constants as C
+    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+    from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig
+    from esmdiff_tpu.diffusion.noise import LogLinearNoise
+    from esmdiff_tpu.models.esm3 import ESM3, ESM3Config
+    from esmdiff_tpu.nn.layers import TimestepEmbedder
+    from esmdiff_tpu.api.protein_api import ESMProtein
 
     prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")
-    seq = prot.sequence
+    seq_tokens = SequenceTokenizer().encode(prot.sequence)
     num_steps = 25
     num_samples = 64
 
-    runtime = ESM3Runtime.random_init(
-        seed=0,
-        trunk_cfg=ESM3Config(head_type="structure", param_dtype="bfloat16",
-                             remat=False),
-        init_len=16,
-    )
-    sampler = EnsembleSampler(runtime)
+    cfg = ESM3Config(head_type="structure", param_dtype="bfloat16",
+                     remat=False)
+    net = ESM3(cfg)
+    se = TimestepEmbedder(hidden_size=cfg.d_model, param_dtype=jnp.bfloat16)
+    mdlm = MDLM(net, se, noise=LogLinearNoise(), cfg=MDLMConfig())
 
-    # warmup (compile)
+    # zero params straight on device (values irrelevant for throughput)
+    shapes = jax.eval_shape(
+        lambda k: mdlm.init(k, batch_size=1, length=16), jax.random.PRNGKey(0))
+    params = jax.jit(
+        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    )()
+
+    B = num_samples
+    L = len(seq_tokens)
+    seq = jnp.asarray(seq_tokens)[None].repeat(B, axis=0)
+
+    @jax.jit
+    def sample(params, key):
+        return mdlm.ddpm_sample(params, key, seq, num_steps=num_steps,
+                                eps=1e-5)
+
     t0 = time.time()
-    sampler.ddpm_ensemble(seq, num_samples=num_samples, num_steps=num_steps,
-                          max_batch=num_samples)
-    compile_and_first = time.time() - t0
+    out = sample(params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    first_call = time.time() - t0
 
-    # timed runs
     times = []
     for i in range(3):
         t0 = time.time()
-        tokens = sampler.ddpm_ensemble(
-            seq, num_samples=num_samples, num_steps=num_steps,
-            seed=i + 1, max_batch=num_samples)
-        jax.block_until_ready(tokens)
+        out = sample(params, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
     conf_per_sec = num_samples / best
-    per_step_ms = best / num_steps * 1000.0
 
     result = {
         "metric": "conformations/sec/chip (BPTI, 25-step ESMDiff sampling)",
@@ -67,10 +79,10 @@ def main():
         "detail": {
             "num_samples": num_samples,
             "num_steps": num_steps,
-            "seq_len": len(seq),
+            "seq_len_with_specials": L,
             "best_wall_s": round(best, 3),
-            "per_step_ms_batch": round(per_step_ms, 2),
-            "first_call_s": round(compile_and_first, 2),
+            "per_step_ms_batch": round(best / num_steps * 1000.0, 2),
+            "first_call_s": round(first_call, 2),
             "device": str(jax.devices()[0]),
         },
     }

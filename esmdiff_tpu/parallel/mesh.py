@@ -26,6 +26,17 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Mesh over the most devices that evenly divide the global batch —
+    the TPU analogue of the reference's world-size batch division
+    (protein_datamodule.py:234-240)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

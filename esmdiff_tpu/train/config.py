@@ -1,0 +1,126 @@
+"""Training configuration: dataclasses + YAML overrides.
+
+Replaces the reference's Hydra tree (configs/train.yaml + experiment/mdlm.yaml
+etc.) with plain dataclasses; ``load_config`` composes defaults <- experiment
+yaml <- dotted CLI overrides, covering the same knobs (SURVEY.md §5
+config/flag system) without the framework dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import yaml
+
+from .data import DataConfig
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    # trunk
+    size: str = "full"            # full | tiny
+    pretrained_ckpt: Optional[str] = None  # torch ckpt to convert & load
+    n_structure_heads: int = 4101
+    n_sequence_heads: int = 0
+    dtype: str = "bfloat16"
+    remat: bool = True
+    # mdlm flags (configs/experiment/mdlm.yaml:30-52)
+    noise: str = "loglinear"
+    time_conditioning: bool = True
+    sampling_eps: float = 1e-3
+    noise_removal: bool = True
+    T: int = 0
+    change_of_variables: bool = False
+    importance_sampling: bool = False
+    antithetic_sampling: bool = True
+    sequence_prediction: bool = False
+    condition_dropout: float = 0.0
+    condition_mask_rate: float = 0.0
+    coupled_condition_mask: bool = False
+    structure_only: bool = False
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    lr: float = 1e-5              # mdlm.yaml:30
+    weight_decay: float = 0.01
+    warmup_steps: int = 0
+    grad_clip: Optional[float] = None
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 100         # mdlm.yaml:61-63
+    log_every_n_steps: int = 10
+    val_every_n_epochs: int = 1
+    early_stopping_patience: int = 100
+    ckpt_dir: str = "output/ckpt"
+    save_top_k: int = 1
+    resume: Optional[str] = None
+    # debug modes (reference configs/debug/*)
+    fast_dev_run: bool = False    # 1 train + 1 val step (debug/fdr.yaml)
+    overfit_batches: int = 0      # repeat N batches (debug/overfit.yaml)
+    limit_batches: float = 1.0    # fraction of batches (debug/limit.yaml)
+    check_nans: bool = False      # detect_anomaly analogue (jax debug_nans)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    task_name: str = "mdlm"
+    seed: int = 42
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+
+
+def _apply(obj: Any, updates: dict):
+    for k, v in updates.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {k} on {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _apply(cur, v)
+        else:
+            setattr(obj, k, v)
+
+
+def _set_dotted(cfg: TrainConfig, dotted: str, value: str):
+    keys = dotted.split(".")
+    obj = cfg
+    for k in keys[:-1]:
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {dotted}")
+        obj = getattr(obj, k)
+    if not hasattr(obj, keys[-1]):
+        raise KeyError(f"unknown config key: {dotted}")
+    cur = getattr(obj, keys[-1])
+    if isinstance(cur, bool):
+        value = value.lower() in ("1", "true", "yes")
+    elif isinstance(cur, int):
+        value = int(value)
+    elif isinstance(cur, float):
+        value = float(value)
+    elif cur is None:
+        value = yaml.safe_load(value)
+    setattr(obj, keys[-1], value)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[list[str]] = None) -> TrainConfig:
+    """defaults <- yaml experiment file <- 'a.b=c' CLI overrides."""
+    cfg = TrainConfig()
+    if yaml_path:
+        with open(yaml_path) as f:
+            _apply(cfg, yaml.safe_load(f) or {})
+    for ov in overrides or []:
+        k, _, v = ov.partition("=")
+        _set_dotted(cfg, k, v)
+    return cfg
+
+
+def save_config(cfg: TrainConfig, path: str | Path):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(yaml.safe_dump(dataclasses.asdict(cfg)))

@@ -1,0 +1,209 @@
+"""MDLM fine-tuning loop.
+
+TPU-native replacement for slm/train.py + Lightning (reference call stack
+SURVEY.md §3.1): build model from config, shard over the data mesh, jitted
+train/eval steps, per-epoch validation, best-val checkpointing (orbax), early
+stopping, CSV metric logs, fast-dev-run / overfit / limit debug modes.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esmdiff_tpu.core import constants as C
+from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig
+from esmdiff_tpu.diffusion.noise import get_noise
+from esmdiff_tpu.models.esm3 import ESM3, ESM3Config, esm3_tiny
+from esmdiff_tpu.nn.layers import TimestepEmbedder
+from esmdiff_tpu.parallel import mesh as pmesh
+from esmdiff_tpu.utils.checkpoint import CheckpointManager
+from esmdiff_tpu.utils.logging import MetricLogger
+
+from . import data as data_mod
+from . import state as tstate
+from .config import TrainConfig
+
+
+def build_mdlm(cfg: TrainConfig) -> MDLM:
+    m = cfg.model
+    if m.size == "tiny":
+        trunk_cfg = esm3_tiny(
+            dtype=m.dtype, head_type="structure",
+            n_structure_heads=m.n_structure_heads,
+            n_sequence_heads=m.n_sequence_heads, remat=m.remat)
+    else:
+        trunk_cfg = ESM3Config(
+            dtype=m.dtype, head_type="structure",
+            n_structure_heads=m.n_structure_heads,
+            n_sequence_heads=m.n_sequence_heads, remat=m.remat)
+    net = ESM3(trunk_cfg)
+    se = TimestepEmbedder(hidden_size=trunk_cfg.d_model,
+                          dtype=trunk_cfg.jnp_dtype)
+    mdlm_cfg = MDLMConfig(
+        time_conditioning=m.time_conditioning,
+        change_of_variables=m.change_of_variables,
+        importance_sampling=m.importance_sampling,
+        antithetic_sampling=m.antithetic_sampling,
+        noise_removal=m.noise_removal,
+        structure_only=m.structure_only,
+        sequence_prediction=m.sequence_prediction,
+        condition_dropout=m.condition_dropout,
+        condition_mask_rate=m.condition_mask_rate,
+        coupled_condition_mask=m.coupled_condition_mask,
+        sampling_eps=m.sampling_eps,
+        T=m.T,
+    )
+    return MDLM(net, se, noise=get_noise(m.noise), cfg=mdlm_cfg)
+
+
+def init_params(mdlm: MDLM, cfg: TrainConfig):
+    params = mdlm.init(jax.random.PRNGKey(cfg.seed))
+    if cfg.model.pretrained_ckpt:
+        from esmdiff_tpu.convert.torch_to_jax import (
+            convert_trunk, load_torch_state_dict, strip_prefix)
+
+        sd = load_torch_state_dict(cfg.model.pretrained_ckpt)
+        if any(k.startswith("net.") for k in sd):
+            sd = strip_prefix(sd, "net.")
+        params["net"], report = convert_trunk(
+            params["net"], sd, mdlm.net.cfg, strict=False)
+        n_missing = len(report["missing"])
+        print(f"[init] loaded pretrained trunk "
+              f"({n_missing} missing, {len(report['unmapped'])} unmapped)")
+    return params
+
+
+def train(cfg: TrainConfig) -> dict:
+    t0 = time.time()
+    run_dir = Path(cfg.trainer.ckpt_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    if cfg.trainer.check_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    dataset = data_mod.EncodingDataset(cfg.data, training=True)
+    train_split, val_split = data_mod.train_val_split(dataset, cfg.data)
+    print(f"[data] {len(train_split.indices)} train / "
+          f"{len(val_split.indices)} val chains from {cfg.data.path}")
+
+    mdlm = build_mdlm(cfg)
+    params = init_params(mdlm, cfg)
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    print(f"[model] {n_params/1e6:.1f}M params")
+
+    optimizer = tstate.make_optimizer(
+        lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
+        warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
+    state = tstate.create_train_state(params, optimizer)
+
+    mesh = pmesh.make_data_mesh_for_batch(cfg.data.batch_size)
+    print(f"[mesh] data axis over {mesh.devices.size} device(s)")
+    shardings = tstate.state_shardings(state, mesh)
+    state = jax.device_put(state, shardings)
+
+    def loss_fn(p, b, k):
+        return mdlm.loss(p, b, k)
+
+    def eval_loss_fn(p, b, k):
+        return mdlm.loss(p, b, k, training=False)
+
+    train_step = tstate.make_train_step(loss_fn, optimizer, mesh=mesh)
+    eval_step = tstate.eval_step_fn(eval_loss_fn)
+
+    ckpt = CheckpointManager(run_dir / "ckpt", save_top_k=cfg.trainer.save_top_k)
+    logger = MetricLogger(run_dir / "metrics.csv")
+    key = jax.random.PRNGKey(cfg.seed)
+
+    if cfg.trainer.resume:
+        state = ckpt.restore(cfg.trainer.resume, state)
+        print(f"[resume] from {cfg.trainer.resume} at step "
+              f"{int(jax.device_get(state.step))}")
+
+    best_val = float("inf")
+    epochs_no_improve = 0
+    global_step = int(jax.device_get(state.step))
+    stop = False
+
+    overfit_cache: Optional[list] = None
+    for epoch in range(cfg.trainer.max_epochs):
+        if stop:
+            break
+        # ---- train epoch ----
+        if cfg.trainer.overfit_batches > 0:
+            if overfit_cache is None:
+                it = data_mod.batches(train_split, cfg.data, shuffle=True,
+                                      seed=cfg.seed)
+                overfit_cache = []
+                for b in it:
+                    overfit_cache.append(b)
+                    if len(overfit_cache) >= cfg.trainer.overfit_batches:
+                        break
+            epoch_batches = overfit_cache
+        else:
+            epoch_batches = data_mod.batches(
+                train_split, cfg.data, shuffle=True, seed=cfg.seed + epoch)
+
+        n_seen = 0
+        n_total = max(1, len(train_split.indices) // cfg.data.batch_size)
+        limit = max(1, int(n_total * cfg.trainer.limit_batches))
+        for batch in epoch_batches:
+            if n_seen >= limit:
+                break
+            key, k = jax.random.split(key)
+            batch = pmesh.shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch, k)
+            global_step += 1
+            n_seen += 1
+            if global_step % cfg.trainer.log_every_n_steps == 0 or \
+                    cfg.trainer.fast_dev_run:
+                m = {k2: float(jax.device_get(v))
+                     for k2, v in metrics.items()}
+                m.update(step=global_step, epoch=epoch, split="train")
+                logger.log(m)
+                print(f"[train] step {global_step} epoch {epoch} "
+                      f"loss {m['loss']:.4f}")
+            if cfg.trainer.fast_dev_run:
+                break
+
+        # ---- validation ----
+        if epoch % cfg.trainer.val_every_n_epochs == 0:
+            losses = []
+            for i, batch in enumerate(data_mod.batches(
+                    val_split, cfg.data, shuffle=False, seed=0,
+                    drop_last=False)):
+                key, k = jax.random.split(key)
+                batch = pmesh.shard_batch(batch, mesh)
+                out = eval_step(state.params, batch, k)
+                losses.append(float(jax.device_get(out["loss"])))
+                if cfg.trainer.fast_dev_run:
+                    break
+            val_loss = float(np.mean(losses)) if losses else float("nan")
+            logger.log({"step": global_step, "epoch": epoch, "split": "val",
+                        "loss": val_loss})
+            print(f"[val] epoch {epoch} loss {val_loss:.4f}")
+            if val_loss < best_val:
+                best_val = val_loss
+                epochs_no_improve = 0
+                ckpt.save(state, step=global_step, metric=val_loss)
+            else:
+                epochs_no_improve += 1
+                if epochs_no_improve >= cfg.trainer.early_stopping_patience:
+                    print(f"[early-stop] no val improvement for "
+                          f"{epochs_no_improve} epochs")
+                    stop = True
+        if cfg.trainer.fast_dev_run:
+            break
+
+    wall = time.time() - t0
+    print(f"[done] best val/loss {best_val:.4f} in {wall:.1f}s "
+          f"({global_step} steps)")
+    return {"best_val_loss": best_val, "steps": global_step,
+            "wall_s": wall, "ckpt_dir": str(run_dir / "ckpt")}
