@@ -117,6 +117,7 @@ def _binned(values, lo, hi, n_bins, weights=None):
         lo = np.atleast_1d(lo)
         hi = np.atleast_1d(hi)
     D = values.shape[1]
+    hi = np.maximum(np.asarray(hi, dtype=float), np.asarray(lo, float) + 1e-6)
     out = np.empty((n_bins, D))
     for d in range(D):
         out[:, d] = np.histogram(
@@ -191,6 +192,12 @@ class TICA:
 
     def fit(self, X):
         X = np.asarray(X, dtype=np.float64)
+        if len(X) < 3:
+            # degenerate reference (e.g. a single structure): identity
+            # projection onto the first dims so downstream code stays finite
+            self.mean_ = X.mean(axis=0)
+            self.components_ = np.eye(X.shape[1], self.dim)
+            return self
         tau = min(self.lagtime, max(1, len(X) - 2))
         self.mean_ = X.mean(axis=0)
         Xc = X - self.mean_
