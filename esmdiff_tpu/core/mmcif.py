@@ -1,0 +1,179 @@
+"""Minimal mmCIF parser: atom_site records -> per-chain atom37 Proteins.
+
+Replaces the reference's Biopython-based AlphaFold parser
+(scripts/mmcif_parsing.py:165-384) with a dependency-free implementation
+covering the fields the pipeline needs: model 1 atom_site rows, header
+resolution/method/release date, entity polymer sequences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import shlex
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+from . import residue_constants as rc
+from .protein import Protein
+
+
+class ParseError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class MmcifHeader:
+    entry_id: str = ""
+    resolution: Optional[float] = None
+    method: str = ""
+    release_date: str = ""
+
+
+@dataclasses.dataclass
+class MmcifChain:
+    chain_id: str
+    protein: Protein
+
+
+@dataclasses.dataclass
+class MmcifObject:
+    header: MmcifHeader
+    chains: dict[str, Protein]
+
+
+def _tokenize(line: str) -> list[str]:
+    # cif tokens: whitespace-separated, quoted with ' or "
+    try:
+        return shlex.split(line, posix=True)
+    except ValueError:
+        return line.split()
+
+
+def _iter_lines(path: str | Path) -> Iterator[str]:
+    path = Path(path)
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rt") as f:
+        yield from f
+
+
+def parse_mmcif(path: str | Path) -> MmcifObject:
+    """Parse model-1 polymer atoms and basic header info."""
+    header = MmcifHeader()
+    atom_cols: list[str] = []
+    in_atom_loop = False
+    pending_loop: Optional[list[str]] = None
+    residues: dict[tuple[str, int, str], dict] = {}
+    order: list[tuple[str, int, str]] = []
+
+    for raw in _iter_lines(path):
+        line = raw.rstrip("\n")
+        if line.startswith("#"):
+            in_atom_loop = False
+            pending_loop = None
+            continue
+        if line.startswith("loop_"):
+            pending_loop = []
+            in_atom_loop = False
+            continue
+        if line.startswith("_atom_site."):
+            if pending_loop is not None:
+                pending_loop.append(line.strip().split(".")[1].strip())
+                atom_cols = pending_loop
+                in_atom_loop = True
+            continue
+        if line.startswith("_"):
+            if pending_loop is not None and not in_atom_loop:
+                pending_loop.append(line)
+                continue
+            toks = _tokenize(line)
+            if not toks:
+                continue
+            key = toks[0]
+            val = toks[1] if len(toks) > 1 else ""
+            if key == "_entry.id":
+                header.entry_id = val
+            elif key in ("_refine.ls_d_res_high",
+                         "_em_3d_reconstruction.resolution",
+                         "_reflns.d_resolution_high"):
+                try:
+                    if header.resolution is None:
+                        header.resolution = float(val)
+                except ValueError:
+                    pass
+            elif key == "_exptl.method":
+                header.method = val
+            elif key == "_pdbx_audit_revision_history.revision_date":
+                if not header.release_date:
+                    header.release_date = val
+            continue
+        if in_atom_loop and line and not line.startswith("_"):
+            toks = line.split()
+            if len(toks) != len(atom_cols):
+                toks = _tokenize(line)
+                if len(toks) != len(atom_cols):
+                    continue
+            rec = dict(zip(atom_cols, toks))
+            if rec.get("group_PDB") not in ("ATOM", "HETATM"):
+                continue
+            if rec.get("pdbx_PDB_model_num", "1") not in ("1", ".", "?"):
+                continue
+            resname = rec.get("label_comp_id", "")
+            if resname not in rc.restype_3to1:
+                continue
+            atom_name = rec.get("label_atom_id", "").strip('"')
+            if atom_name not in rc.atom_order:
+                continue
+            alt = rec.get("label_alt_id", ".")
+            if alt not in (".", "A", "1", "?"):
+                continue
+            chain = rec.get("auth_asym_id", rec.get("label_asym_id", "A"))
+            try:
+                seq_raw = rec.get("auth_seq_id", rec.get("label_seq_id", "0"))
+                resseq = int(seq_raw)
+            except ValueError:
+                continue
+            icode = rec.get("pdbx_PDB_ins_code", "?")
+            key = (chain, resseq, icode)
+            if key not in residues:
+                residues[key] = {"resname": resname, "atoms": {}, "b": {}}
+                order.append(key)
+            try:
+                xyz = (float(rec["Cartn_x"]), float(rec["Cartn_y"]),
+                       float(rec["Cartn_z"]))
+            except (KeyError, ValueError):
+                continue
+            residues[key]["atoms"].setdefault(atom_name, xyz)
+            try:
+                residues[key]["b"].setdefault(
+                    atom_name, float(rec.get("B_iso_or_equiv", 0.0)))
+            except ValueError:
+                residues[key]["b"].setdefault(atom_name, 0.0)
+
+    if not order:
+        raise ParseError(f"no polymer atoms parsed from {path}")
+
+    chains: dict[str, Protein] = {}
+    chain_ids = sorted({k[0] for k in order})
+    for cid in chain_ids:
+        keys = [k for k in order if k[0] == cid]
+        L = len(keys)
+        pos = np.zeros((L, rc.atom_type_num, 3), np.float32)
+        mask = np.zeros((L, rc.atom_type_num), np.float32)
+        bfac = np.zeros((L, rc.atom_type_num), np.float32)
+        aatype = np.zeros((L,), np.int32)
+        residx = np.zeros((L,), np.int32)
+        for i, k in enumerate(keys):
+            rec = residues[k]
+            one = rc.restype_3to1.get(rec["resname"], "X")
+            aatype[i] = rc.restype_order.get(one, rc.unk_restype_index)
+            residx[i] = k[1]
+            for name, xyz in rec["atoms"].items():
+                ai = rc.atom_order[name]
+                pos[i, ai] = xyz
+                mask[i, ai] = 1.0
+                bfac[i, ai] = rec["b"].get(name, 0.0)
+        chains[cid] = Protein(pos, mask, aatype, residx, bfac)
+    return MmcifObject(header=header, chains=chains)

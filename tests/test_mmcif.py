@@ -1,0 +1,104 @@
+"""mmCIF parser + preprocess pipeline on synthesized mmCIF files."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from esmdiff_tpu.core import mmcif, protein, residue_constants as rc
+
+BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+
+
+def protein_to_mmcif(prot, entry_id="test", chain_id="A",
+                     resolution=1.8) -> str:
+    """Minimal mmCIF writer (test fixture)."""
+    lines = [
+        f"data_{entry_id}",
+        f"_entry.id {entry_id}",
+        f"_refine.ls_d_res_high {resolution}",
+        "_exptl.method 'X-RAY DIFFRACTION'",
+        "#",
+        "loop_",
+        "_atom_site.group_PDB",
+        "_atom_site.id",
+        "_atom_site.label_atom_id",
+        "_atom_site.label_alt_id",
+        "_atom_site.label_comp_id",
+        "_atom_site.auth_asym_id",
+        "_atom_site.auth_seq_id",
+        "_atom_site.pdbx_PDB_ins_code",
+        "_atom_site.Cartn_x",
+        "_atom_site.Cartn_y",
+        "_atom_site.Cartn_z",
+        "_atom_site.B_iso_or_equiv",
+        "_atom_site.pdbx_PDB_model_num",
+    ]
+    rts3 = [rc.restype_1to3[r] for r in rc.restypes] + ["UNK"]
+    serial = 1
+    for i in range(len(prot.aatype)):
+        res3 = rts3[min(int(prot.aatype[i]), rc.restype_num)]
+        for ai, name in enumerate(rc.atom_types):
+            if prot.atom_mask[i, ai] < 0.5:
+                continue
+            x, y, z = prot.atom_positions[i, ai]
+            lines.append(
+                f"ATOM {serial} {name} . {res3} {chain_id} "
+                f"{int(prot.residue_index[i])} ? {x:.3f} {y:.3f} {z:.3f} "
+                f"{float(prot.b_factors[i, ai]):.2f} 1")
+            serial += 1
+    lines.append("#")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.fixture(scope="module")
+def bpti():
+    prot = protein.from_pdb_file(BPTI)
+    return prot[0] if isinstance(prot, list) else prot
+
+
+def test_parse_roundtrip(bpti, tmp_path):
+    cif = tmp_path / "bpti.cif"
+    cif.write_text(protein_to_mmcif(bpti))
+    obj = mmcif.parse_mmcif(cif)
+    assert obj.header.resolution == pytest.approx(1.8)
+    assert obj.header.method == "X-RAY DIFFRACTION"
+    assert list(obj.chains) == ["A"]
+    parsed = obj.chains["A"]
+    assert parsed.sequence == bpti.sequence
+    np.testing.assert_allclose(
+        parsed.atom_positions[parsed.atom_mask > 0.5],
+        bpti.atom_positions[bpti.atom_mask > 0.5], atol=1e-3)
+
+
+def test_parse_gzip(bpti, tmp_path):
+    cif = tmp_path / "bpti.cif.gz"
+    with gzip.open(cif, "wt") as f:
+        f.write(protein_to_mmcif(bpti))
+    obj = mmcif.parse_mmcif(cif)
+    assert obj.chains["A"].sequence == bpti.sequence
+
+
+def test_preprocess_cli(bpti, tmp_path):
+    from esmdiff_tpu.cli.preprocess import main
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "ok.cif").write_text(protein_to_mmcif(bpti, resolution=1.8))
+    (in_dir / "bad_res.cif").write_text(
+        protein_to_mmcif(bpti, resolution=9.0))
+    # too short after filters
+    short = protein.from_backbone(bpti.backbone_coords()[:5],
+                                  sequence=bpti.sequence[:5])
+    (in_dir / "short.cif").write_text(protein_to_mmcif(short))
+
+    main([str(in_dir), str(out_dir), "--min_len", "10",
+          "--max_resolution", "5.0"])
+    files = sorted(out_dir.glob("*.npz"))
+    assert len(files) == 1 and files[0].stem == "ok_A"
+    z = np.load(files[0])
+    assert str(z["sequence"]) == bpti.sequence
+    meta = (out_dir / "metadata.csv").read_text()
+    assert "resolution_filtered" in meta
+    assert "length_filtered" in meta
