@@ -6,8 +6,9 @@ Prints ONE JSON line:
 Workload = the reference's canonical config (README.md:64-67): BPTI (58
 residues), 25 denoising steps, full-size trunk (d_model 1536, 48 layers,
 bf16).  The whole trajectory runs as a single jitted lax.scan on device.
-Weights are zero-initialized (identical FLOPs/memory traffic to converted
-weights; values don't affect throughput).
+Weights are randomly initialized (identical FLOPs/memory traffic to converted
+weights).  NB: all-zero weights must NOT be used — this TPU runtime
+short-circuits them and reports fantasy timings.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 1.0 = this framework's own round-1 reference point until a measured PyTorch
@@ -30,27 +31,26 @@ def main():
     from esmdiff_tpu.nn.layers import TimestepEmbedder
     from esmdiff_tpu.api.protein_api import ESMProtein
 
+    import numpy as np
+
     prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")
     seq_tokens = SequenceTokenizer().encode(prot.sequence)
     num_steps = 25
-    num_samples = 64
+    num_samples = 128
 
     cfg = ESM3Config(head_type="structure", param_dtype="bfloat16",
                      remat=False)
     net = ESM3(cfg)
     se = TimestepEmbedder(hidden_size=cfg.d_model, param_dtype=jnp.bfloat16)
     mdlm = MDLM(net, se, noise=LogLinearNoise(), cfg=MDLMConfig())
-
-    # zero params straight on device (values irrelevant for throughput)
-    shapes = jax.eval_shape(
-        lambda k: mdlm.init(k, batch_size=1, length=16), jax.random.PRNGKey(0))
-    params = jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    )()
+    params = mdlm.init(jax.random.PRNGKey(42), batch_size=1, length=16)
 
     B = num_samples
-    L = len(seq_tokens)
-    seq = jnp.asarray(seq_tokens)[None].repeat(B, axis=0)
+    # pad to the MXU-friendly 64 bucket (matches api/generation bucketing)
+    L = ((len(seq_tokens) + 63) // 64) * 64
+    row = np.full((L,), C.SEQUENCE_PAD_TOKEN, np.int32)
+    row[:len(seq_tokens)] = seq_tokens
+    seq = jnp.asarray(row)[None].repeat(B, axis=0)
 
     @jax.jit
     def sample(params, key):
@@ -79,7 +79,8 @@ def main():
         "detail": {
             "num_samples": num_samples,
             "num_steps": num_steps,
-            "seq_len_with_specials": L,
+            "seq_len_padded": L,
+            "seq_len_with_specials": len(seq_tokens),
             "best_wall_s": round(best, 3),
             "per_step_ms_batch": round(best / num_steps * 1000.0, 2),
             "first_call_s": round(first_call, 2),

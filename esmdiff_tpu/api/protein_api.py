@@ -125,7 +125,10 @@ class ESM3Runtime:
         keys = jax.random.split(jax.random.PRNGKey(seed), 4)
         trunk = ESM3(trunk_cfg)
         seq = jnp.full((1, init_len), 5, dtype=jnp.int32)
-        trunk_params = trunk.init(keys[0], sequence_tokens=seq)["params"]
+        dummy_coords = jnp.zeros((1, init_len, 3, 3), jnp.float32)
+        trunk_params = trunk.init(
+            keys[0], sequence_tokens=seq,
+            structure_coords=dummy_coords)["params"]
         encoder = StructureTokenEncoder(encoder_cfg)
         bb = jax.random.normal(keys[1], (1, init_len, 3, 3)) * 3.0
         encoder_params = encoder.init(keys[1], bb)["params"]

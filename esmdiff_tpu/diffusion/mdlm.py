@@ -127,7 +127,11 @@ class MDLM:
     def init(self, key, batch_size: int = 1, length: int = 8):
         k1, k2 = jax.random.split(key)
         seq = jnp.full((batch_size, length), C.SEQUENCE_MASK_TOKEN, jnp.int32)
-        net_params = self.net.init(k1, sequence_tokens=seq)["params"]
+        # dummy coords so geometric-attention params are created even though
+        # the MDLM forward path skips the geometric block (exact no-op there)
+        coords = jnp.zeros((batch_size, length, 3, 3), jnp.float32)
+        net_params = self.net.init(
+            k1, sequence_tokens=seq, structure_coords=coords)["params"]
         se_params = self.sigma_embedder.init(
             k2, jnp.zeros((batch_size,), jnp.float32))["params"]
         return {"net": net_params, "sigma_embedder": se_params}

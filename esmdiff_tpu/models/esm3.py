@@ -100,7 +100,8 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, rot_cos, rot_sin, mask, affine=None,
-                 affine_mask=None, sequence_id=None, chain_id=None):
+                 affine_mask=None, sequence_id=None, chain_id=None,
+                 skip_geom: bool = False):
         cfg = self.cfg
         scale = cfg.residue_scaling_factor
         r = MultiHeadAttention(
@@ -109,7 +110,12 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(x, rot_cos, rot_sin, mask=mask)
         x = x + r / scale
-        if self.use_geom_attn:
+        # When every frame is masked (no input coordinates — the MDLM
+        # training/sampling path), geometric attention contributes exactly 0
+        # (mask_and_zero_frameless) but still costs O(L^2 * v_heads) compute
+        # and memory.  skip_geom elides it statically; parameters still exist
+        # (created at init with dummy coords) so checkpoints are unaffected.
+        if self.use_geom_attn and not skip_geom:
             r = GeometricAttention(
                 d_model=cfg.d_model, v_heads=cfg.v_heads,
                 mask_and_zero_frameless=cfg.mask_and_zero_frameless,
@@ -142,7 +148,7 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, sequence_id=None, affine: Optional[Affine3D] = None,
-                 affine_mask=None, chain_id=None):
+                 affine_mask=None, chain_id=None, skip_geom: bool = False):
         cfg = self.cfg
         L = x.shape[1]
         rot_cos, rot_sin = rotary_tables(
@@ -153,7 +159,7 @@ class TransformerStack(nn.Module):
         for i in range(cfg.n_layers_geom):
             x = TransformerBlock(cfg, use_geom_attn=True, name=f"block{i}")(
                 x, rot_cos, rot_sin, mask, affine, affine_mask, sequence_id,
-                chain_id,
+                chain_id, skip_geom=skip_geom,
             )
 
         n_rest = cfg.n_layers - cfg.n_layers_geom
@@ -255,12 +261,20 @@ class ESM3(nn.Module):
                 (B, L, C.RESIDUE_ANNOTATION_DEPTH), C.RESIDUE_PAD_TOKEN,
                 dtype=jnp.int32,
             )
+        # With no input coordinates every frame is masked and geometric
+        # attention is an exact no-op — skip it statically (big O(L^2 * 256)
+        # saving on the MDLM path; reference runs it anyway, net.py:433-441).
+        skip_geom = structure_coords is None
         if structure_coords is None:
-            structure_coords = jnp.full(
-                (B, L, 3, 3), jnp.nan, dtype=jnp.float32
+            affine = Affine3D(
+                rot=jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+                trans=jnp.zeros((B, L, 3)),
             )
-        structure_coords = structure_coords[..., :3, :]
-        affine, affine_mask = build_affine3d_from_coordinates(structure_coords)
+            affine_mask = jnp.zeros((B, L), dtype=bool)
+        else:
+            structure_coords = structure_coords[..., :3, :]
+            affine, affine_mask = build_affine3d_from_coordinates(
+                structure_coords)
 
         # Tie structure specials to the sequence specials
         # (reference slm/models/net.py:445-454).
@@ -283,6 +297,7 @@ class ESM3(nn.Module):
         if auxiliary_embeddings is not None:
             x = x + auxiliary_embeddings.astype(x.dtype)
         x, embedding = self.transformer(
-            x, sequence_id, affine, affine_mask, chain_id
+            x, sequence_id, affine, affine_mask, chain_id,
+            skip_geom=skip_geom,
         )
         return self.output_heads(x, embedding)

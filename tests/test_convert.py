@@ -21,7 +21,8 @@ def tiny():
     cfg = esm3_tiny(dtype="float32")
     model = ESM3(cfg)
     seq = jnp.full((1, 8), 5, dtype=jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq)["params"]
+    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq,
+                        structure_coords=jnp.zeros((*seq.shape, 3, 3)))["params"]
     return cfg, model, params, seq
 
 
@@ -34,7 +35,8 @@ def test_roundtrip_exact(tiny):
     assert len(sd) > 40
 
     # fresh template with different random init
-    params2 = model.init(jax.random.PRNGKey(7), sequence_tokens=seq)["params"]
+    params2 = model.init(jax.random.PRNGKey(7), sequence_tokens=seq,
+                         structure_coords=jnp.zeros((*seq.shape, 3, 3)))["params"]
     converted, report = convert_trunk(params2, sd, cfg, strict=True)
     out_ref = model.apply({"params": params}, sequence_tokens=seq)
     out_conv = model.apply({"params": converted}, sequence_tokens=seq)

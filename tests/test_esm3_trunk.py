@@ -14,7 +14,8 @@ def tiny_model():
     model = ESM3(cfg)
     B, L = 2, 16
     seq = jnp.ones((B, L), dtype=jnp.int32) * 5
-    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq)
+    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq,
+                        structure_coords=jnp.zeros((*seq.shape, 3, 3)))
     return model, params, cfg
 
 
@@ -35,7 +36,8 @@ def test_structure_head_variant():
     model = ESM3(cfg)
     B, L = 1, 8
     seq = jnp.ones((B, L), dtype=jnp.int32) * 5
-    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq)
+    params = model.init(jax.random.PRNGKey(0), sequence_tokens=seq,
+                        structure_coords=jnp.zeros((*seq.shape, 3, 3)))
     out = model.apply(params, sequence_tokens=seq)
     assert out.structure_logits.shape == (B, L, 4101)
     # dummy tracks are zeros
@@ -125,7 +127,8 @@ def test_scan_equals_loop():
     B, L = 1, 8
     seq = jnp.full((B, L), 5, dtype=jnp.int32)
     m_scan, m_loop = ESM3(cfg_scan), ESM3(cfg_loop)
-    p_scan = m_scan.init(jax.random.PRNGKey(0), sequence_tokens=seq)
+    p_scan = m_scan.init(jax.random.PRNGKey(0), sequence_tokens=seq,
+                         structure_coords=jnp.zeros((*seq.shape, 3, 3)))
 
     # repack stacked scan params into per-layer loop params
     import flax
