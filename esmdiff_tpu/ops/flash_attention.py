@@ -57,7 +57,8 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_attention(q, k, v, lengths=None, mask=None,
-                    block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    interpret: bool | None = None):
     """q,k,v: (B, L, H, Dh) -> (B, L, H, Dh).
 
     lengths: optional (B,) int32 valid prefix lengths (padding suffix is
@@ -65,6 +66,10 @@ def flash_attention(q, k, v, lengths=None, mask=None,
     contiguous-prefix mask produced by ``sequence_id_mask`` (converted to
     lengths); arbitrary masks fall back to the XLA path.
     """
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; interpret elsewhere (tests,
+        # CPU dev) so call sites stay backend-agnostic.
+        interpret = jax.default_backend() != "tpu"
     B, L, H, Dh = q.shape
     if mask is not None and lengths is None:
         # (B, 1, L, L) prefix mask -> lengths; anything fancier -> XLA path
