@@ -177,6 +177,15 @@ class ESM3Runtime:
             pt.structure[None], [self.seq_tokenizer.decode(pt.sequence)])
         return prots[0]
 
+    def encode_decode(self, pdb_path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize a structure and decode it back: (coords, coords_pred),
+        both (L, 37, 3) — the reference's round-trip fidelity probe
+        (slm/models/utils.py:166-193)."""
+        prot = ESMProtein.from_pdb(pdb_path)
+        pt = self.encode(prot)
+        pred = self.decode(pt)
+        return prot.coordinates, pred.coordinates
+
     def decode_batch(self, structure_tokens, sequences) -> list[ESMProtein]:
         """Batched VQ-VAE decode — the reference decodes per sample in a
         Python loop (sample_esmdiff.py:225-230); here one batched device call.

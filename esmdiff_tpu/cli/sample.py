@@ -66,6 +66,10 @@ def get_argparser():
                    choices=["full", "tiny"],
                    help="Trunk size when no ckpt is given.")
     p.add_argument("--max_batch", type=int, default=None)
+    p.add_argument("--profile", type=str, default=None,
+                   help="Directory for a jax.profiler trace of the sampling "
+                        "phase (TPU-equivalent of the reference's Lightning "
+                        "profiler, configs/debug/profiler.yaml).")
     return p
 
 
@@ -84,6 +88,12 @@ def main(argv=None):
 
     targets = sorted(p for p in data_path.iterdir() if p.suffix == ".pdb")
     report = []
+    profile_cm = None
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
     for path in targets:
         prot = ESMProtein.from_pdb(path)
         seq = prot.sequence
@@ -125,6 +135,9 @@ def main(argv=None):
             "num_samples": args.num_samples,
             "sampling_sec": t_tokens, "total_sec": t_total,
         })
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f"[profile] trace written to {args.profile}")
     (output_dir / "timings.json").write_text(json.dumps(report, indent=2))
 
 

@@ -169,6 +169,73 @@ def trunk_rules(n_layers: int, n_layers_geom: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# VQ-VAE rules
+# ---------------------------------------------------------------------------
+
+def vqvae_decoder_rules(n_layers: int = 30):
+    """StructureTokenDecoder params (models/vqvae.py): embed, 30-layer stack
+    (scan layout), 6D-rot affine head, pLDDT head."""
+    rules: dict[tuple, tuple] = {
+        ("embed", "embedding"): ("embed.weight", _id),
+        ("decoder_stack", "norm", "scale"):
+            ("decoder_stack.norm.weight", _id),
+        ("affine_output_projection", "ffn1", "kernel"):
+            ("affine_output_projection.ffn1.weight", _t),
+        ("affine_output_projection", "ffn1", "bias"):
+            ("affine_output_projection.ffn1.bias", _id),
+        ("affine_output_projection", "ln", "scale"):
+            ("affine_output_projection.norm.weight", _id),
+        ("affine_output_projection", "ln", "bias"):
+            ("affine_output_projection.norm.bias", _id),
+        ("affine_output_projection", "proj", "kernel"):
+            ("affine_output_projection.proj.weight", _t),
+        ("affine_output_projection", "proj", "bias"):
+            ("affine_output_projection.proj.bias", _id),
+    }
+    for k, v in _block_rules("decoder_stack.blocks.{i}").items():
+        rules[("decoder_stack", "blocks", "block") + k] = (v[0], v[1], "stack")
+    rules.update(_regression_head_rules(("plddt_head",), "plddt_head"))
+    # pae q/k are this framework's low-rank factorization (no torch source)
+    return rules
+
+
+def vqvae_encoder_rules(n_layers: int = 2):
+    """StructureTokenEncoder params: relative-position table, 2-layer
+    geometric stack (unrolled), pre-VQ projection, codebook."""
+    rules: dict[tuple, tuple] = {
+        ("relative_position_embed", "embedding"):
+            ("relative_positional_embedding.embedding.weight", _id),
+        ("pre_vq_proj", "kernel"): ("pre_vq_proj.weight", _t),
+        ("pre_vq_proj", "bias"): ("pre_vq_proj.bias", _id),
+        ("codebook",): ("codebook.embeddings", _id),
+        ("transformer", "norm", "scale"): ("transformer.norm.weight", _id),
+    }
+    for i in range(n_layers):
+        prefix = f"transformer.blocks.{i}"
+        for k, v in _block_rules(prefix).items():
+            rules[("transformer", f"block{i}") + k] = v
+        if i == 0:
+            for k, v in _geom_rules(prefix).items():
+                rules[("transformer", f"block{i}") + k] = v
+    return rules
+
+
+def convert_vqvae_decoder(template_params, state_dict, n_layers: int = 30,
+                          strict: bool = False, key_overrides=None):
+    return convert_params(
+        template_params, state_dict, vqvae_decoder_rules(n_layers),
+        n_scan_layers=n_layers, scan_layer_offset=0,
+        key_overrides=key_overrides, strict=strict)
+
+
+def convert_vqvae_encoder(template_params, state_dict, n_layers: int = 2,
+                          strict: bool = False, key_overrides=None):
+    return convert_params(
+        template_params, state_dict, vqvae_encoder_rules(n_layers),
+        key_overrides=key_overrides, strict=strict)
+
+
+# ---------------------------------------------------------------------------
 # conversion driver
 # ---------------------------------------------------------------------------
 
