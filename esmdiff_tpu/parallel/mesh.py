@@ -47,6 +47,15 @@ def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    if jax.process_count() > 1:
+        # every host materializes the same (seeded) global batch; each
+        # contributes its addressable shard
+        return {
+            k: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(v)), np.asarray(v),
+                global_shape=np.shape(v))
+            for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, data_sharding(mesh, np.ndim(v)))
         for k, v in batch.items()

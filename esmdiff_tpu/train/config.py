@@ -64,6 +64,7 @@ class TrainerConfig:
     overfit_batches: int = 0      # repeat N batches (debug/overfit.yaml)
     limit_batches: float = 1.0    # fraction of batches (debug/limit.yaml)
     check_nans: bool = False      # detect_anomaly analogue (jax debug_nans)
+    multihost: bool = False       # jax.distributed.initialize() on launch
 
 
 @dataclasses.dataclass

@@ -86,6 +86,12 @@ def train(cfg: TrainConfig) -> dict:
     run_dir = Path(cfg.trainer.ckpt_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
 
+    if cfg.trainer.multihost:
+        # ICI/DCN SPMD across hosts; coordinator/topology auto-detected on
+        # Cloud TPU (the reference's torch.distributed/SLURM analogue)
+        jax.distributed.initialize()
+        print(f"[dist] process {jax.process_index()}/{jax.process_count()}")
+
     if cfg.trainer.check_nans:
         jax.config.update("jax_debug_nans", True)
 
