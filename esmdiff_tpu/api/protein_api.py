@@ -105,7 +105,7 @@ class ESM3Runtime:
         self._jit_encode = jax.jit(
             lambda p, bb: self.encoder.apply(p, bb))
         self._jit_decode = jax.jit(
-            lambda p, t: self.decoder.apply(p, t))
+            lambda p, t: self.decoder.apply(p, t, compute_ptm=False))
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -126,21 +126,27 @@ class ESM3Runtime:
         trunk = ESM3(trunk_cfg)
         seq = jnp.full((1, init_len), 5, dtype=jnp.int32)
         dummy_coords = jnp.zeros((1, init_len, 3, 3), jnp.float32)
-        trunk_params = trunk.init(
-            keys[0], sequence_tokens=seq,
-            structure_coords=dummy_coords)["params"]
+        # jit the inits: eager init = thousands of tiny dispatches, which is
+        # pathological on high-latency (tunneled) devices
+        trunk_params = jax.jit(
+            lambda k: trunk.init(k, sequence_tokens=seq,
+                                 structure_coords=dummy_coords)
+        )(keys[0])["params"]
         encoder = StructureTokenEncoder(encoder_cfg)
         bb = jax.random.normal(keys[1], (1, init_len, 3, 3)) * 3.0
-        encoder_params = encoder.init(keys[1], bb)["params"]
+        encoder_params = jax.jit(
+            lambda k: encoder.init(k, bb))(keys[1])["params"]
         decoder = StructureTokenDecoder(decoder_cfg)
         toks = jnp.full((1, init_len), 7, dtype=jnp.int32)
-        decoder_params = decoder.init(keys[2], toks)["params"]
+        decoder_params = jax.jit(
+            lambda k: decoder.init(k, toks))(keys[2])["params"]
         sig = sig_params = None
         if with_sigma_embedder:
             sig = TimestepEmbedder(
                 hidden_size=trunk_cfg.d_model, dtype=trunk_cfg.jnp_dtype)
-            sig_params = sig.init(
-                keys[3], jnp.zeros((1,), jnp.float32))["params"]
+            sig_params = jax.jit(
+                lambda k: sig.init(k, jnp.zeros((1,), jnp.float32))
+            )(keys[3])["params"]
         return cls(trunk, trunk_params, encoder, encoder_params, decoder,
                    decoder_params, sig, sig_params)
 

@@ -98,3 +98,65 @@ def iterative_unmask_sample(
         step, (initial_tokens.astype(jnp.int32), key), quotas.T
     )
     return x
+
+
+def entropy_bounded_unmask_sample(
+    forward_logits_fn,
+    key,
+    initial_tokens,
+    decode_mask,
+    entropy_budget: float = 1.0,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    max_steps: int = 64,
+):
+    """Adaptive unmasking: per step, commit the largest low-entropy set whose
+    cumulative predictive entropy stays under ``entropy_budget`` (nats).
+
+    Beyond-parity sampler following the entropy-bounded unmasking idea
+    (PAPERS.md: arXiv 2505.24857): easy regions decode in few steps, hard
+    regions get more; the number of trunk forwards adapts per input.  Runs as
+    a ``lax.while_loop`` so finished batches stop paying for forwards.
+
+    Returns (tokens (B, L) int32, n_steps_used (int32)).
+    """
+    B, L = initial_tokens.shape
+    decode_mask = decode_mask & (initial_tokens == C.STRUCTURE_MASK_TOKEN)
+
+    def cond(carry):
+        x, _, steps = carry
+        masked = jnp.any((x == C.STRUCTURE_MASK_TOKEN) & decode_mask)
+        return masked & (steps < max_steps)
+
+    def body(carry):
+        x, key, steps = carry
+        key, k_samp = jax.random.split(key)
+        logits = forward_logits_fn(x).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1)  # (B, L)
+
+        scaled = logits / jnp.maximum(temperature, 1e-4)
+        if top_p < 1.0:
+            scaled = top_p_filter(scaled, top_p)
+        gumbel = -jnp.log(
+            -jnp.log(jax.random.uniform(k_samp, scaled.shape) + 1e-20)
+            + 1e-20)
+        sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+        still = (x == C.STRUCTURE_MASK_TOKEN) & decode_mask
+        ent = jnp.where(still, entropy, jnp.inf)
+        order = jnp.argsort(ent, axis=-1)           # ascending entropy
+        ranks = jnp.argsort(order, axis=-1)
+        sorted_ent = jnp.take_along_axis(
+            jnp.where(still, entropy, 0.0), order, axis=-1)
+        cum = jnp.cumsum(sorted_ent, axis=-1)
+        ok_sorted = cum <= entropy_budget
+        ok = jnp.take_along_axis(ok_sorted, ranks, axis=-1)
+        commit = still & (ok | (ranks == 0))  # always commit >= 1 token
+        x = jnp.where(commit, sampled, x)
+        return x, key, steps + 1
+
+    x, _, steps = jax.lax.while_loop(
+        cond, body, (initial_tokens.astype(jnp.int32), key,
+                     jnp.zeros((), jnp.int32)))
+    return x, steps

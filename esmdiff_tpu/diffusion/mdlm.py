@@ -128,12 +128,18 @@ class MDLM:
         k1, k2 = jax.random.split(key)
         seq = jnp.full((batch_size, length), C.SEQUENCE_MASK_TOKEN, jnp.int32)
         # dummy coords so geometric-attention params are created even though
-        # the MDLM forward path skips the geometric block (exact no-op there)
+        # the MDLM forward path skips the geometric block (exact no-op there);
+        # init is jitted: eager init dispatches thousands of tiny ops, which
+        # is pathological on high-latency (tunneled) devices
         coords = jnp.zeros((batch_size, length, 3, 3), jnp.float32)
-        net_params = self.net.init(
-            k1, sequence_tokens=seq, structure_coords=coords)["params"]
-        se_params = self.sigma_embedder.init(
-            k2, jnp.zeros((batch_size,), jnp.float32))["params"]
+        net_params = jax.jit(
+            lambda k: self.net.init(k, sequence_tokens=seq,
+                                    structure_coords=coords)
+        )(k1)["params"]
+        se_params = jax.jit(
+            lambda k: self.sigma_embedder.init(
+                k, jnp.zeros((batch_size,), jnp.float32))
+        )(k2)["params"]
         return {"net": net_params, "sigma_embedder": se_params}
 
     # -- forward ------------------------------------------------------------

@@ -219,9 +219,14 @@ class StructureTokenDecoder(nn.Module):
     cfg: DecoderConfig = DecoderConfig()
 
     @nn.compact
-    def __call__(self, structure_tokens):
+    def __call__(self, structure_tokens, compute_ptm: bool = True):
         """(B, L) int tokens -> dict(bb_pred (B, L, 3, 3), plddt (B, L),
-        ptm (B,))."""
+        ptm (B,)).
+
+        compute_ptm=False skips the pairwise O(B*L^2*bins) aligned-error
+        head at call time (params still exist) — coordinate-only decoding of
+        long-chain ensembles would otherwise OOM on it.
+        """
         cfg = self.cfg
         x = nn.Embed(
             C.STRUCTURE_VOCAB_SIZE, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
@@ -249,6 +254,8 @@ class StructureTokenDecoder(nn.Module):
                          name="pae_q")(x).astype(jnp.float32)
             k = nn.Dense(cfg.pae_bins, dtype=jnp.dtype(cfg.dtype),
                          name="pae_k")(x).astype(jnp.float32)
+            if not compute_ptm:
+                return out
             pae_logits = q[:, :, None, :] + k[:, None, :, :]  # (B, L, L, bins)
             pae_probs = jax.nn.softmax(pae_logits, axis=-1)
             L = structure_tokens.shape[1]
