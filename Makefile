@@ -1,0 +1,24 @@
+.PHONY: test bench tmscore smoke clean
+
+test:
+	python -m pytest tests/ -q
+
+tmscore:
+	$(MAKE) -C native/tmscore
+
+bench:
+	python bench.py
+
+# 5-minute end-to-end smoke: dump a tiny corpus, train 2 epochs, sample, analyze
+smoke:
+	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.dump \
+	  /root/reference/data/targets/bpti /tmp/esmdiff_smoke/enc --model_scale tiny
+	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.train \
+	  --config configs/mdlm_smoke.yaml data.path=/tmp/esmdiff_smoke/enc \
+	  data.batch_size=1 trainer.ckpt_dir=/tmp/esmdiff_smoke/run
+	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.sample \
+	  --input /root/reference/data/targets/bpti --output /tmp/esmdiff_smoke/out \
+	  --mode ddpm --num_steps 4 --num_samples 2 --model_scale tiny
+
+clean:
+	rm -rf native/tmscore/build output

@@ -30,6 +30,8 @@ def build_runtime(args) -> ESM3Runtime:
     from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
     from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
+    print("[warning] no --ckpt given: sampling with RANDOM weights "
+          "(throughput/dev runs only — outputs are not physical ensembles)")
     head = "structure" if args.mode == "ddpm" else "esm3"
     if args.model_scale == "full":
         return ESM3Runtime.random_init(

@@ -284,7 +284,16 @@ class MDLM:
         timesteps = jnp.linspace(sample_max_t, eps, num_steps + 1)
         dt = (1 - eps) / num_steps
 
-        def step(carry, t):
+        # The final noise-removal denoise runs INSIDE the scan (as an extra
+        # step selecting argmax) so the 1.4B trunk appears once in the HLO —
+        # the reference's separate final forward (model.py:575-579) would
+        # double XLA compile time.
+        n_iters = num_steps + (1 if cfg.noise_removal else 0)
+        ts = timesteps[:n_iters]
+        is_final = jnp.arange(n_iters) == num_steps
+
+        def step(carry, inp):
+            t, final = inp
             x, key = carry
             key, k_cat = jax.random.split(key)
             tb = jnp.full((B,), t, dtype=jnp.float32)
@@ -300,17 +309,12 @@ class MDLM:
             q_xs = q_xs.at[:, :, cfg.mask_index].set(mc_s[:, :, 0])
             x_new = sample_categorical(k_cat, q_xs).astype(jnp.int32)
             copy = x != cfg.mask_index
-            x = jnp.where(copy, x, x_new)
+            x_upd = jnp.where(copy, x, x_new)
+            # noise removal: argmax of the parameterized log-probs (equals
+            # carry-over on unmasked positions by construction)
+            x_denoised = jnp.argmax(log_p_x0, axis=-1).astype(jnp.int32)
+            x = jnp.where(final, x_denoised, x_upd)
             return (x, key), None
 
-        (x, key), _ = jax.lax.scan(step, (x, key), timesteps[:-1])
-
-        if cfg.noise_removal:
-            tb = jnp.full((B,), timesteps[-1], dtype=jnp.float32)
-            sigma_t = self.noise.total_noise(tb)
-            logits, _ = self.forward_logits(
-                params, x, sequence_tokens, sigma_t[:, None],
-                shield_specials=shield_specials, sequence_id=sequence_id,
-            )
-            x = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        (x, key), _ = jax.lax.scan(step, (x, key), (ts, is_final))
         return x
