@@ -219,10 +219,11 @@ class EnsembleSampler:
                 decode_row[1:Lw - 1] = ~known
 
         stock_head = self.runtime.trunk.cfg.head_type == "esm3"
+        trunk = self.runtime.trunk
 
-        def forward(tokens, seq_tokens, seq_id):
-            out = self.runtime.trunk.apply(
-                {"params": self.runtime.trunk_params},
+        def forward(params, tokens, seq_tokens, seq_id):
+            out = trunk.apply(
+                {"params": params},
                 structure_tokens=tokens,
                 sequence_tokens=seq_tokens,
                 sequence_id=seq_id,
@@ -239,11 +240,14 @@ class EnsembleSampler:
             cache_key = (B, Lpad, config.num_steps, config.temperature,
                          config.top_p)
             if cache_key not in self._gibbs_jit_cache:
-                def fn(key, init, dmask, seq_tokens, seq_id,
+                # NB: params must be a jit ARGUMENT — closing over them bakes
+                # GBs of weights into the HLO as constants (see PERF.md).
+                def fn(params, key, init, dmask, seq_tokens, seq_id,
                        _steps=config.num_steps, _t=config.temperature,
                        _p=config.top_p):
                     return iterative_unmask_sample(
-                        lambda toks: forward(toks, seq_tokens, seq_id),
+                        lambda toks: forward(params, toks, seq_tokens,
+                                             seq_id),
                         key, init, dmask, num_steps=_steps,
                         temperature=_t, top_p=_p,
                     )
@@ -254,7 +258,8 @@ class EnsembleSampler:
             seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
             init_b = jnp.asarray(np.tile(init_row[None], (B, 1)))
             dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
-            toks = fn(k, init_b, dmask_b, seq_b, seq_id)
+            toks = fn(self.runtime.trunk_params, k, init_b, dmask_b, seq_b,
+                      seq_id)
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)
         return tokens[:, 1:-1]

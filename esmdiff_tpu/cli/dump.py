@@ -58,8 +58,11 @@ def main(argv=None):
 
     trunk_fwd = None
     if args.with_embeddings:
-        trunk_fwd = jax.jit(lambda seq: runtime.trunk.apply(
-            {"params": runtime.trunk_params}, sequence_tokens=seq))
+        # params as a jit argument (closing over them bakes weights into the
+        # HLO as constants — see PERF.md)
+        _fwd = jax.jit(lambda p, seq: runtime.trunk.apply(
+            {"params": p}, sequence_tokens=seq))
+        trunk_fwd = lambda seq: _fwd(runtime.trunk_params, seq)
 
     n_ok = 0
     for f in files:

@@ -91,8 +91,9 @@ def main(argv=None):
         from esmdiff_tpu.convert.checkpoints import load_ar_params
         params = load_ar_params(args.ckpt, params)
 
-    trunk_fwd = jax.jit(lambda seq: runtime.trunk.apply(
-        {"params": runtime.trunk_params}, sequence_tokens=seq))
+    _fwd = jax.jit(lambda p, seq: runtime.trunk.apply(
+        {"params": p}, sequence_tokens=seq))
+    trunk_fwd = lambda seq: _fwd(runtime.trunk_params, seq)
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)

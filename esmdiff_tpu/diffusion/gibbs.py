@@ -22,19 +22,70 @@ import jax.numpy as jnp
 from esmdiff_tpu.core import constants as C
 
 
-def top_p_filter(logits, top_p: float):
+def top_p_filter(logits, top_p: float, exact: bool = False):
     """Nucleus filtering: suppress tokens outside the smallest set with
-    cumulative probability >= top_p."""
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens while the cumulative prob *before* them is < top_p
-    keep_sorted = (cum - probs) < top_p
-    # threshold logit = smallest kept logit
-    thresh = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-    )
-    return jnp.where(logits >= thresh, logits, -1e9)
+    cumulative probability >= top_p.
+
+    Default is a sort-free bisection on the probability threshold (24 fixed
+    halvings, each an O(V) masked sum): a vocab-wide jnp.sort inside a
+    sampling scan is brutal for XLA/TPU compile time.  ``exact=True`` keeps
+    the reference sort-based semantics for verification.
+    """
+    if exact:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jnp.exp(jax.nn.log_softmax(sorted_logits, axis=-1))
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p
+        thresh = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+            keepdims=True)
+        return jnp.where(logits >= thresh, logits, -1e9)
+
+    probs = jnp.exp(jax.nn.log_softmax(logits, axis=-1))
+    # find tau with mass(p >= tau) ~ top_p; keep p >= tau (mass >= top_p)
+    lo = jnp.zeros(logits.shape[:-1] + (1,), logits.dtype)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
+                       keepdims=True)
+        too_much = mass > top_p
+        return jnp.where(too_much, mid, lo), jnp.where(too_much, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 24, body, (lo, hi))
+    return jnp.where(probs >= lo, logits, -1e9)
+
+
+def select_top_by_confidence(conf, eligible, n_new):
+    """Boolean mask of (up to) the n_new most confident eligible positions.
+
+    Sort-free: bisects a per-row confidence threshold (sorts/argsorts inside
+    a sampling scan explode XLA/TPU compile time — see PERF.md).  Returns at
+    least one position per row when n_new > 0 (the max-confidence one).
+
+    conf: (B, L) float; eligible: (B, L) bool; n_new: (B,) int.
+    """
+    neg = jnp.asarray(-1e30, conf.dtype)
+    c = jnp.where(eligible, conf, neg)
+    lo = jnp.min(jnp.where(eligible, conf, jnp.inf), axis=-1, keepdims=True)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0) - 1.0
+    hi = jnp.max(c, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum(c >= mid, axis=-1, keepdims=True)
+        too_many = cnt > n_new[:, None]
+        return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 30, body, (lo, hi))
+    commit = eligible & (c >= hi)
+    # guarantee progress: always include the per-row max when n_new > 0
+    is_max = c >= jnp.max(c, axis=-1, keepdims=True)
+    commit = commit | (eligible & is_max & (n_new[:, None] > 0))
+    return commit
 
 
 def cosine_unmask_schedule(num_steps: int):
@@ -84,13 +135,9 @@ def iterative_unmask_sample(
         conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
 
         still_masked = (x == C.STRUCTURE_MASK_TOKEN) & decode_mask
-        conf = jnp.where(still_masked, conf, -jnp.inf)
-        # rank masked positions by confidence (descending)
-        order = jnp.argsort(-conf, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
         already = jnp.sum(decode_mask & (x != C.STRUCTURE_MASK_TOKEN), axis=-1)
         n_new = jnp.maximum(quota - already, 0)  # (B,)
-        commit = still_masked & (ranks < n_new[:, None])
+        commit = select_top_by_confidence(conf, still_masked, n_new)
         x = jnp.where(commit, sampled, x)
         return (x, key), None
 
@@ -144,15 +191,27 @@ def entropy_bounded_unmask_sample(
         sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
         still = (x == C.STRUCTURE_MASK_TOKEN) & decode_mask
-        ent = jnp.where(still, entropy, jnp.inf)
-        order = jnp.argsort(ent, axis=-1)           # ascending entropy
-        ranks = jnp.argsort(order, axis=-1)
-        sorted_ent = jnp.take_along_axis(
-            jnp.where(still, entropy, 0.0), order, axis=-1)
-        cum = jnp.cumsum(sorted_ent, axis=-1)
-        ok_sorted = cum <= entropy_budget
-        ok = jnp.take_along_axis(ok_sorted, ranks, axis=-1)
-        commit = still & (ok | (ranks == 0))  # always commit >= 1 token
+        # largest tau with sum(entropy[entropy <= tau]) <= budget, found by
+        # bisection (sort-free: see select_top_by_confidence / PERF.md)
+        masked_ent = jnp.where(still, entropy, jnp.inf)
+        lo = jnp.zeros((B, 1), jnp.float32)
+        hi = jnp.max(jnp.where(still, entropy, 0.0), axis=-1,
+                     keepdims=True) + 1e-6
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) * 0.5
+            mass = jnp.sum(
+                jnp.where(still & (entropy <= mid), entropy, 0.0),
+                axis=-1, keepdims=True)
+            over = mass > entropy_budget
+            return jnp.where(over, lo, mid), jnp.where(over, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, 30, bisect, (lo, hi))
+        commit = still & (entropy <= lo)
+        # always commit at least the lowest-entropy position
+        is_min = masked_ent <= jnp.min(masked_ent, axis=-1, keepdims=True)
+        commit = commit | (still & is_min)
         x = jnp.where(commit, sampled, x)
         return x, key, steps + 1
 
