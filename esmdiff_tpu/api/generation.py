@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from esmdiff_tpu.core import constants as C
-from esmdiff_tpu.diffusion.gibbs import iterative_unmask_sample
+from esmdiff_tpu.diffusion.gibbs import (
+    entropy_bounded_unmask_sample,
+    iterative_unmask_sample,
+)
 from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig, shield_special_tokens
 from esmdiff_tpu.diffusion.noise import LogLinearNoise, Noise
 from .protein_api import ESM3Runtime, ESMProtein
@@ -260,6 +263,70 @@ class EnsembleSampler:
             dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
             toks = fn(self.runtime.trunk_params, k, init_b, dmask_b, seq_b,
                       seq_id)
+            outs.append(np.asarray(toks)[:, :Lw])
+        tokens = np.concatenate(outs, axis=0)
+        return tokens[:, 1:-1]
+
+    # -- entropy-bounded adaptive unmasking ------------------------------------
+    def eb_ensemble(
+        self,
+        sequence: str,
+        num_samples: int,
+        entropy_budget: float = 1.0,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        max_steps: int = 64,
+        seed: int = 0,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        max_batch: Optional[int] = None,
+    ) -> np.ndarray:
+        """Adaptive-step unmasking (diffusion/gibbs.py::
+        entropy_bounded_unmask_sample): commits as many low-entropy tokens
+        per trunk forward as the entropy budget allows.  Returns (N, L)
+        interior tokens."""
+        seq_padded, Lw = self._padded_tokens(sequence, None)
+        Lpad = len(seq_padded)
+        init_row = np.full((Lpad,), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+        init_row[:Lw] = C.STRUCTURE_MASK_TOKEN
+        decode_row = np.zeros((Lpad,), dtype=bool)
+        decode_row[1:Lw - 1] = True
+
+        stock_head = self.runtime.trunk.cfg.head_type == "esm3"
+        trunk = self.runtime.trunk
+
+        def forward(params, tokens, seq_tokens, seq_id):
+            out = trunk.apply(
+                {"params": params}, structure_tokens=tokens,
+                sequence_tokens=seq_tokens, sequence_id=seq_id)
+            logits = out.structure_logits.astype(jnp.float32)
+            if not stock_head:
+                logits = shield_special_tokens(logits)
+            return logits
+
+        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        for B in sizes:
+            cache_key = ("eb", B, Lpad, entropy_budget, temperature, top_p,
+                         max_steps)
+            if cache_key not in self._gibbs_jit_cache:
+                def fn(params, key, init, dmask, seq_tokens, seq_id,
+                       _eb=entropy_budget, _t=temperature, _p=top_p,
+                       _ms=max_steps):
+                    return entropy_bounded_unmask_sample(
+                        lambda toks: forward(params, toks, seq_tokens,
+                                             seq_id),
+                        key, init, dmask, entropy_budget=_eb,
+                        temperature=_t, top_p=_p, max_steps=_ms)
+                self._gibbs_jit_cache[cache_key] = jax.jit(fn)
+            fn = self._gibbs_jit_cache[cache_key]
+            key, k = jax.random.split(key)
+            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
+            init_b = jnp.asarray(np.tile(init_row[None], (B, 1)))
+            dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
+            toks, n_steps = fn(self.runtime.trunk_params, k, init_b,
+                               dmask_b, seq_b, seq_id)
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)
         return tokens[:, 1:-1]

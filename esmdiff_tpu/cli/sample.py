@@ -56,13 +56,19 @@ def get_argparser():
                         "random weights (dev only).")
     p.add_argument("--output", type=str, default="output/inference_esmdiff")
     p.add_argument("--mode", type=str, default="gibbs",
-                   choices=["gibbs", "ddpm"])
+                   choices=["gibbs", "ddpm", "eb"],
+                   help="gibbs = cosine-schedule iterative unmasking; "
+                        "ddpm = fine-tuned masked-diffusion; eb = adaptive "
+                        "entropy-bounded unmasking (fewer trunk forwards).")
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--mask_ids", type=str, default=None,
                    help="Comma-separated 0-based residue indices to inpaint.")
     p.add_argument("--temperature", type=float, default=1.4)
     p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--entropy_budget", type=float, default=1.0,
+                   help="eb mode: max cumulative entropy (nats) committed "
+                        "per trunk forward.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", type=str, default="full",
                    choices=["full", "tiny"],
@@ -100,7 +106,15 @@ def main(argv=None):
         prot = ESMProtein.from_pdb(path)
         seq = prot.sequence
         t0 = time.time()
-        if args.mode == "gibbs":
+        if args.mode == "eb":
+            tokens = sampler.eb_ensemble(
+                seq, args.num_samples,
+                entropy_budget=args.entropy_budget,
+                temperature=args.temperature, top_p=args.top_p,
+                max_steps=args.num_steps * 8,
+                seed=args.seed, max_batch=args.max_batch,
+            )
+        elif args.mode == "gibbs":
             tokens = sampler.gibbs_ensemble(
                 seq, args.num_samples,
                 config=GenerationConfig(
