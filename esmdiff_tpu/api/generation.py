@@ -16,7 +16,6 @@ TPU-native replacement for the reference inference CLIs' inner machinery
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax

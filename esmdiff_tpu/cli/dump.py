@@ -35,7 +35,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from esmdiff_tpu.api.protein_api import ESM3Runtime, ESMProtein
-    from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
+    from esmdiff_tpu.models.esm3 import esm3_tiny
     from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
     if args.ckpt:

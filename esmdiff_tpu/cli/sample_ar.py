@@ -50,7 +50,7 @@ def main(argv=None):
     from esmdiff_tpu.core import protein as protein_io
     from esmdiff_tpu.models.clm import CLM, CLMConfig
     from esmdiff_tpu.models.jlm import JLM, JLMConfig
-    from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
+    from esmdiff_tpu.models.esm3 import esm3_tiny
     from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
     # runtime (embeddings + VQ decode)

@@ -15,7 +15,6 @@ Space spec (yaml):
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import random
 from pathlib import Path

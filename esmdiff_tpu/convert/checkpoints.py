@@ -19,7 +19,6 @@ from pathlib import Path
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def _is_orbax_dir(path: Path) -> bool:

@@ -21,7 +21,7 @@ checkpoint can be patched without touching code.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

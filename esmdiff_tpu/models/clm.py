@@ -17,8 +17,6 @@ program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

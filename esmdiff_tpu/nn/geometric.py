@@ -9,7 +9,7 @@ block runs once per forward so a Pallas kernel is not warranted.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

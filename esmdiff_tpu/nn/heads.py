@@ -7,7 +7,7 @@ Mirrors the reference's swappable-head design: the stock multi-track
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,8 +14,6 @@ optional scale-out path for HBM-constrained fine-tuning of the 1.4B trunk.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -8,8 +8,6 @@ stopping, CSV metric logs, fast-dev-run / overfit / limit debug modes.
 
 from __future__ import annotations
 
-import csv
-import dataclasses
 import time
 from pathlib import Path
 from typing import Optional
