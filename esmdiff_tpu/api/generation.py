@@ -48,16 +48,24 @@ class GenerationConfig:
 
 def plan_batches(length_with_specials: int, num_samples: int,
                  budget: int = N_MAX_RESIDUE_SQUARE,
-                 max_batch: Optional[int] = None) -> list[int]:
+                 max_batch: Optional[int] = None,
+                 granularity: int = 1) -> list[int]:
     """Split num_samples into batches with L^2 * B <= budget
-    (reference sample_esmdiff.py:104-112,181-193)."""
+    (reference sample_esmdiff.py:104-112,181-193).
+
+    granularity: every batch size is a multiple of this (mesh shard count);
+    the final batch may exceed the remaining samples — callers trim.
+    """
     per = max(1, budget // (length_with_specials * length_with_specials))
     if max_batch is not None:
         per = min(per, max_batch)
+    g = max(1, granularity)
+    per = max(g, (per // g) * g)
     sizes = []
     left = num_samples
     while left > 0:
         b = min(per, left)
+        b = ((b + g - 1) // g) * g  # round up to granularity
         sizes.append(b)
         left -= b
     return sizes
@@ -74,10 +82,16 @@ class EnsembleSampler:
 
     def __init__(self, runtime: ESM3Runtime,
                  noise: Optional[Noise] = None,
-                 mdlm_cfg: MDLMConfig = MDLMConfig()):
+                 mdlm_cfg: MDLMConfig = MDLMConfig(),
+                 mesh=None):
+        """mesh: optional jax Mesh with a 'data' axis — the sample batch is
+        sharded across it (params replicated), so an ensemble generates in
+        parallel across chips (the TPU analogue of the reference's
+        single-GPU micro-batching loop)."""
         self.runtime = runtime
         self.noise = noise or LogLinearNoise()
         self.mdlm_cfg = mdlm_cfg
+        self.mesh = mesh
         self.mdlm = MDLM(
             runtime.trunk,
             runtime.sigma_embedder,
@@ -88,8 +102,38 @@ class EnsembleSampler:
             "net": runtime.trunk_params,
             "sigma_embedder": runtime.sigma_params,
         }
+        if mesh is not None:
+            from esmdiff_tpu.parallel import mesh as pmesh
+
+            rep = pmesh.replicated(mesh)
+            self._mdlm_params = jax.device_put(
+                self._mdlm_params,
+                jax.tree.map(lambda _: rep, self._mdlm_params))
+            self._trunk_params_sharded = jax.device_put(
+                runtime.trunk_params,
+                jax.tree.map(lambda _: rep, runtime.trunk_params))
         self._ddpm_jit_cache: dict = {}
         self._gibbs_jit_cache: dict = {}
+
+    def _gibbs_params(self):
+        if self.mesh is not None:
+            return self._trunk_params_sharded
+        return self.runtime.trunk_params
+
+    def _n_shards(self) -> int:
+        return 1 if self.mesh is None else int(self.mesh.devices.size)
+
+    def _device_batch(self, arrays: dict) -> dict:
+        """Place per-call batch arrays (replicating or sharding on 'data')."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from esmdiff_tpu.parallel import mesh as pmesh
+
+        return {
+            k: jax.device_put(np.asarray(v),
+                              pmesh.data_sharding(self.mesh, np.ndim(v)))
+            for k, v in arrays.items()
+        }
 
     # -- shared helpers -------------------------------------------------------
     def _padded_tokens(self, sequence: str, pad_to: Optional[int]):
@@ -159,7 +203,8 @@ class EnsembleSampler:
         else:
             prior_row[:Lw] = C.STRUCTURE_MASK_TOKEN
 
-        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        sizes = plan_batches(Lw, num_samples, budget, max_batch,
+                             granularity=self._n_shards())
         key = jax.random.PRNGKey(seed)
         outs = []
         for bi, B in enumerate(sizes):
@@ -169,12 +214,15 @@ class EnsembleSampler:
                     B, Lpad, num_steps, eps, sample_max_t, True)
             fn = self._ddpm_jit_cache[cache_key]
             key, k = jax.random.split(key)
-            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            batch = self._device_batch({
+                "seq": np.tile(seq_padded[None], (B, 1)),
+                "prior": np.tile(prior_row[None], (B, 1)),
+            })
+            seq_b = batch["seq"]
             seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
-            prior_b = jnp.asarray(np.tile(prior_row[None], (B, 1)))
-            toks = fn(self._mdlm_params, k, seq_b, seq_id, prior_b)
+            toks = fn(self._mdlm_params, k, seq_b, seq_id, batch["prior"])
             outs.append(np.asarray(toks)[:, :Lw])
-        tokens = np.concatenate(outs, axis=0)
+        tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]  # strip BOS/EOS (reference :220-221)
 
     # -- gibbs ----------------------------------------------------------------
@@ -235,7 +283,8 @@ class EnsembleSampler:
                 logits = shield_special_tokens(logits)
             return logits
 
-        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        sizes = plan_batches(Lw, num_samples, budget, max_batch,
+                             granularity=self._n_shards())
         key = jax.random.PRNGKey(seed)
         outs = []
         for B in sizes:
@@ -256,14 +305,17 @@ class EnsembleSampler:
                 self._gibbs_jit_cache[cache_key] = jax.jit(fn)
             fn = self._gibbs_jit_cache[cache_key]
             key, k = jax.random.split(key)
-            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            batch = self._device_batch({
+                "seq": np.tile(seq_padded[None], (B, 1)),
+                "init": np.tile(init_row[None], (B, 1)),
+                "dmask": np.tile(decode_row[None], (B, 1)),
+            })
+            seq_b = batch["seq"]
             seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
-            init_b = jnp.asarray(np.tile(init_row[None], (B, 1)))
-            dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
-            toks = fn(self.runtime.trunk_params, k, init_b, dmask_b, seq_b,
-                      seq_id)
+            toks = fn(self._gibbs_params(), k, batch["init"], batch["dmask"],
+                      seq_b, seq_id)
             outs.append(np.asarray(toks)[:, :Lw])
-        tokens = np.concatenate(outs, axis=0)
+        tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]
 
     # -- entropy-bounded adaptive unmasking ------------------------------------
@@ -302,7 +354,8 @@ class EnsembleSampler:
                 logits = shield_special_tokens(logits)
             return logits
 
-        sizes = plan_batches(Lw, num_samples, budget, max_batch)
+        sizes = plan_batches(Lw, num_samples, budget, max_batch,
+                             granularity=self._n_shards())
         key = jax.random.PRNGKey(seed)
         outs = []
         for B in sizes:
@@ -320,14 +373,17 @@ class EnsembleSampler:
                 self._gibbs_jit_cache[cache_key] = jax.jit(fn)
             fn = self._gibbs_jit_cache[cache_key]
             key, k = jax.random.split(key)
-            seq_b = jnp.asarray(np.tile(seq_padded[None], (B, 1)))
+            batch = self._device_batch({
+                "seq": np.tile(seq_padded[None], (B, 1)),
+                "init": np.tile(init_row[None], (B, 1)),
+                "dmask": np.tile(decode_row[None], (B, 1)),
+            })
+            seq_b = batch["seq"]
             seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
-            init_b = jnp.asarray(np.tile(init_row[None], (B, 1)))
-            dmask_b = jnp.asarray(np.tile(decode_row[None], (B, 1)))
-            toks, n_steps = fn(self.runtime.trunk_params, k, init_b,
-                               dmask_b, seq_b, seq_id)
+            toks, n_steps = fn(self._gibbs_params(), k, batch["init"],
+                               batch["dmask"], seq_b, seq_id)
             outs.append(np.asarray(toks)[:, :Lw])
-        tokens = np.concatenate(outs, axis=0)
+        tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]
 
     # -- decode to proteins -----------------------------------------------------
