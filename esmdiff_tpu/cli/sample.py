@@ -74,6 +74,9 @@ def get_argparser():
                    choices=["full", "tiny"],
                    help="Trunk size when no ckpt is given.")
     p.add_argument("--max_batch", type=int, default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard the sample batch across all local devices "
+                        "(params replicated).")
     p.add_argument("--profile", type=str, default=None,
                    help="Directory for a jax.profiler trace of the sampling "
                         "phase (TPU-equivalent of the reference's Lightning "
@@ -89,7 +92,13 @@ def main(argv=None):
     output_dir.mkdir(parents=True, exist_ok=True)
 
     runtime = build_runtime(args)
-    sampler = EnsembleSampler(runtime)
+    mesh = None
+    if args.data_parallel:
+        from esmdiff_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        print(f"[mesh] sampling across {mesh.devices.size} device(s)")
+    sampler = EnsembleSampler(runtime, mesh=mesh)
     mask_ids = (
         [int(i) for i in args.mask_ids.split(",")] if args.mask_ids else None
     )

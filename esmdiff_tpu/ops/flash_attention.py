@@ -55,6 +55,37 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
     ).astype(o_ref.dtype)
 
 
+def _xla_attention_with_lengths(q, k, v, lengths):
+    """Reference attention with prefix-length masking (used by the custom
+    VJP backward — gradients recompute through the XLA formulation)."""
+    from esmdiff_tpu.nn.attention import _xla_attention
+
+    L = q.shape[1]
+    key_ok = jnp.arange(L)[None, :] < lengths[:, None]
+    mask = key_ok[:, None, None, :]
+    return _xla_attention(q, k, v, mask=mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_core(q, k, v, lengths, block_q, interpret):
+    return _flash_attention_impl(q, k, v, lengths, block_q, interpret)
+
+
+def _flash_core_fwd(q, k, v, lengths, block_q, interpret):
+    out = _flash_attention_impl(q, k, v, lengths, block_q, interpret)
+    return out, (q, k, v, lengths)
+
+
+def _flash_core_bwd(block_q, interpret, res, g):
+    q, k, v, lengths = res
+    _, vjp = jax.vjp(_xla_attention_with_lengths, q, k, v, lengths)
+    dq, dk, dv, _ = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_attention(q, k, v, lengths=None, mask=None,
                     block_q: int = DEFAULT_BLOCK_Q,
@@ -85,13 +116,16 @@ def flash_attention(q, k, v, lengths=None, mask=None,
         del is_prefix, _xla_attention
     if lengths is None:
         lengths = jnp.full((B,), L, jnp.int32)
+    return _flash_attention_core(q, k, v, lengths, min(block_q, L),
+                                 interpret)
 
-    block_q = min(block_q, L)
+
+def _flash_attention_impl(q, k, v, lengths, block_q, interpret):
+    B, L, H, Dh = q.shape
     if L % block_q != 0:
         pad = block_q - L % block_q
         qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        out = flash_attention(qp, k, v, lengths=lengths, block_q=block_q,
-                              interpret=interpret)
+        out = _flash_attention_impl(qp, k, v, lengths, block_q, interpret)
         return out[:, :L]
 
     # (B, H, L, Dh) layout for clean tiling
