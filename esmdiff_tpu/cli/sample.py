@@ -64,6 +64,10 @@ def get_argparser():
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--mask_ids", type=str, default=None,
                    help="Comma-separated 0-based residue indices to inpaint.")
+    p.add_argument("--filled_ids", type=str, default=None,
+                   help="Comma-separated indices to KEEP (everything else is "
+                        "generated) — complement of --mask_ids (ddpm only, "
+                        "reference sample_esmdiff.py:203-207).")
     p.add_argument("--temperature", type=float, default=1.4)
     p.add_argument("--top_p", type=float, default=0.9)
     p.add_argument("--entropy_budget", type=float, default=1.0,
@@ -102,6 +106,10 @@ def main(argv=None):
     mask_ids = (
         [int(i) for i in args.mask_ids.split(",")] if args.mask_ids else None
     )
+    filled_ids = (
+        [int(i) for i in args.filled_ids.split(",")]
+        if args.filled_ids else None
+    )
 
     targets = sorted(p for p in data_path.iterdir() if p.suffix == ".pdb")
     report = []
@@ -136,12 +144,12 @@ def main(argv=None):
             )
         else:
             structure_tokens = None
-            if mask_ids:
+            if mask_ids or filled_ids:
                 pt = runtime.encode(prot)
                 structure_tokens = pt.structure
             tokens = sampler.ddpm_ensemble(
                 seq, args.num_samples, num_steps=args.num_steps,
-                seed=args.seed, mask_ids=mask_ids,
+                seed=args.seed, mask_ids=mask_ids, filled_ids=filled_ids,
                 structure_tokens=structure_tokens,
                 max_batch=args.max_batch,
             )

@@ -41,6 +41,20 @@ def scatterplot_2d(d_proj: dict, save_to: str | Path, ref_key: str = "target",
     plt.close(fig)
 
 
+def heatmap(matrix, save_to: str | Path, xlabel: str = "", ylabel: str = "",
+            cmap: str = "viridis"):
+    """Generic matrix heatmap (e.g. contact maps, pairwise RMSD/TM)."""
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(np.asarray(matrix), cmap=cmap, aspect="auto")
+    fig.colorbar(im, ax=ax)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    Path(save_to).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_to, dpi=150)
+    plt.close(fig)
+
+
 def scatterplot_apo(x, y, save_to: str | Path, xlabel: str = "TM pair",
                     ylabel: str = "TM ensemble", regplot: bool = False):
     x = np.asarray(x, dtype=float)

@@ -88,6 +88,23 @@ def test_ddpm_inpainting_end_to_end(tiny_runtime):
     np.testing.assert_array_equal(tokens[1][keep], interior[keep])
 
 
+def test_ddpm_filled_ids(tiny_runtime):
+    """filled_ids = keep only these; everything else regenerates
+    (reference sample_esmdiff.py:203-207)."""
+    prot = ESMProtein.from_pdb(BPTI)
+    pt = tiny_runtime.encode(prot)
+    sampler = EnsembleSampler(tiny_runtime)
+    filled = [0, 1, 2]
+    tokens = sampler.ddpm_ensemble(
+        prot.sequence, num_samples=2, num_steps=4,
+        filled_ids=filled, structure_tokens=pt.structure,
+    )
+    interior = pt.structure[1:-1]
+    np.testing.assert_array_equal(tokens[0][filled], interior[filled])
+    # the rest was regenerated as codebook tokens
+    assert (tokens[0][3:] < 4096).all()
+
+
 def test_gibbs_end_to_end(gibbs_runtime):
     prot = ESMProtein.from_pdb(BPTI)
     sampler = EnsembleSampler(gibbs_runtime)
