@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     from esmdiff_tpu.core import constants as C
     from esmdiff_tpu.core.tokenizer import SequenceTokenizer
     from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig

@@ -49,23 +49,32 @@ class GenerationConfig:
 def plan_batches(length_with_specials: int, num_samples: int,
                  budget: int = N_MAX_RESIDUE_SQUARE,
                  max_batch: Optional[int] = None,
-                 granularity: int = 1) -> list[int]:
+                 granularity: int = 1,
+                 batch_bucket: int = 32) -> list[int]:
     """Split num_samples into batches with L^2 * B <= budget
     (reference sample_esmdiff.py:104-112,181-193).
 
-    granularity: every batch size is a multiple of this (mesh shard count);
-    the final batch may exceed the remaining samples — callers trim.
+    Batch sizes are rounded up to ``batch_bucket`` multiples (and to the
+    mesh ``granularity``) so XLA compiles one program per batch bucket
+    instead of one per requested sample count; the final batch may exceed
+    the remaining samples — callers trim the outputs.
     """
     per = max(1, budget // (length_with_specials * length_with_specials))
     if max_batch is not None:
         per = min(per, max_batch)
     g = max(1, granularity)
     per = max(g, (per // g) * g)
+
+    def bucketed(b: int) -> int:
+        # next power of two (>= 8), then mesh granularity, capped by budget
+        v = max(8, 1 << (b - 1).bit_length())
+        v = ((v + g - 1) // g) * g
+        return min(v, per) if per >= g else v
+
     sizes = []
     left = num_samples
     while left > 0:
-        b = min(per, left)
-        b = ((b + g - 1) // g) * g  # round up to granularity
+        b = bucketed(min(per, left))
         sizes.append(b)
         left -= b
     return sizes

@@ -90,6 +90,8 @@ def get_argparser():
 
 def main(argv=None):
     args = get_argparser().parse_args(argv)
+    from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
     data_path = Path(args.input)
     assert data_path.is_dir(), f"--input must be a directory: {data_path}"
     output_dir = Path(args.output)

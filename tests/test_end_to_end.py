@@ -39,11 +39,16 @@ def gibbs_runtime():
 
 
 def test_plan_batches():
-    assert sum(plan_batches(60, 100)) == 100
-    assert plan_batches(60, 5) == [5]
+    # batch sizes are power-of-two buckets; callers trim the surplus
+    assert sum(plan_batches(60, 100)) >= 100
+    assert all((s & (s - 1)) == 0 for s in plan_batches(60, 100))
+    assert plan_batches(60, 5) == [8]
+    assert plan_batches(60, 100, max_batch=128) == [128]
     # budget binds for long proteins
     sizes = plan_batches(1000, 100)
-    assert all(s <= 4 for s in sizes) and sum(sizes) == 100
+    assert all(s <= 4 for s in sizes) and sum(sizes) >= 100
+    # mesh granularity respected
+    assert all(s % 8 == 0 for s in plan_batches(60, 10, granularity=8))
 
 
 def test_encode_bpti(tiny_runtime):
