@@ -272,7 +272,9 @@ class EnsembleSampler:
             prot = ESMProtein(sequence=sequence, coordinates=coordinates)
             pt = self.runtime.encode(prot)
             if pt.structure is not None:
-                known = np.isfinite(coordinates).all(axis=(-1, -2))
+                # judge validity on the backbone slots only — unused atom37
+                # slots are NaN for every residue
+                known = np.isfinite(coordinates[:, :3]).all(axis=(-1, -2))
                 init_row[1:Lw - 1] = np.where(
                     known, pt.structure[1:-1], C.STRUCTURE_MASK_TOKEN)
                 decode_row[1:Lw - 1] = ~known

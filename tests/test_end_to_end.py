@@ -120,3 +120,31 @@ def test_gibbs_end_to_end(gibbs_runtime):
     L = len(prot.sequence)
     assert tokens.shape == (2, L)
     assert (tokens < 4096).all()
+
+
+def test_gibbs_inpainting_keeps_known_tokens(gibbs_runtime):
+    """With mask_ids, only the masked residues are regenerated — unmasked
+    residues keep their encoder tokens (regression: atom37 NaN slots must
+    not mark every residue unknown)."""
+    prot = ESMProtein.from_pdb(BPTI)
+    mask_ids = [3, 4, 5]
+    tokens = EnsembleSampler(gibbs_runtime).gibbs_ensemble(
+        prot.sequence, num_samples=2,
+        config=GenerationConfig(num_steps=3),
+        coordinates=prot.coordinates, mask_ids=mask_ids,
+    )
+    # reference tokens come from encoding the MUTATED protein (masked coords
+    # -> inf), matching the reference's protseq_to_data path — neighboring
+    # residues' kNN tokens legitimately differ from the pristine encoding
+    mut_seq = "".join("_" if i in mask_ids else ch
+                      for i, ch in enumerate(prot.sequence))
+    mut_coords = prot.coordinates.copy()
+    mut_coords[mask_ids] = np.inf
+    pt = gibbs_runtime.encode(
+        ESMProtein(sequence=mut_seq, coordinates=mut_coords))
+    interior = np.asarray(pt.structure[1:-1])
+    keep = np.ones(len(prot.sequence), dtype=bool)
+    keep[mask_ids] = False
+    np.testing.assert_array_equal(tokens[0][keep], interior[keep])
+    np.testing.assert_array_equal(tokens[1][keep], interior[keep])
+    assert (tokens[0][mask_ids] < 4096).all()
