@@ -84,8 +84,8 @@ def select_top_by_confidence(conf, eligible, n_new):
     commit = eligible & (c >= hi)
     # guarantee progress: always include the per-row max when n_new > 0
     is_max = c >= jnp.max(c, axis=-1, keepdims=True)
-    commit = commit | (eligible & is_max & (n_new[:, None] > 0))
-    return commit
+    commit = commit | (eligible & is_max)
+    return commit & (n_new[:, None] > 0)
 
 
 def cosine_unmask_schedule(num_steps: int):

@@ -183,6 +183,18 @@ def test_top_p_filter():
     assert out[0, 3] < -1e8
 
 
+def test_select_top_by_confidence():
+    conf = jnp.asarray([[0.9, 0.1, 0.5, 0.7, 0.3],
+                        [0.2, 0.8, 0.4, 0.6, 0.05]])
+    eligible = jnp.ones((2, 5), bool).at[0, 0].set(False)
+    n_new = jnp.asarray([2, 0])
+    commit = np.asarray(gibbs.select_top_by_confidence(conf, eligible, n_new))
+    # row 0: top-2 eligible are 0.7 (idx 3) and 0.5 (idx 2); 0.9 ineligible
+    assert commit[0].tolist() == [False, False, True, True, False]
+    # row 1: quota 0 -> nothing
+    assert not commit[1].any()
+
+
 def test_cosine_schedule_reaches_one():
     sched = np.asarray(gibbs.cosine_unmask_schedule(16))
     assert sched[-1] == pytest.approx(1.0)
