@@ -150,8 +150,10 @@ def train_val_split(dataset: EncodingDataset, cfg: DataConfig):
 
 def batches(split: Split, cfg: DataConfig, shuffle: bool, seed: int,
             drop_last: bool = True) -> Iterator[dict]:
-    """Yield padded global batches.  Length-sorted shuffle windows keep bucket
-    shapes stable (fewer XLA programs) while preserving randomness."""
+    """Yield padded global batches (shuffled fixed-size chunks).  Each batch
+    pads to the next ``bucket_multiple`` boundary, so the number of distinct
+    XLA programs is bounded by max_len / bucket_multiple regardless of the
+    corpus's length distribution."""
     rng = np.random.RandomState(seed)
     idx = split.indices.copy()
     if shuffle:

@@ -50,10 +50,31 @@ def _build():
     }
     loss, _ = mdlm.loss(params, batch, jax.random.PRNGKey(7))
     sample = mdlm.ddpm_sample(params, jax.random.PRNGKey(9), seq, num_steps=6)
+
+    # gibbs + eb trajectories through the same trunk
+    from esmdiff_tpu.diffusion.gibbs import (
+        entropy_bounded_unmask_sample, iterative_unmask_sample)
+
+    def fwd(tokens):
+        lg, _ = mdlm.forward_logits(params, tokens, seq, sigma=None,
+                                    shield_specials=True)
+        return lg
+
+    init = jnp.full((B, L), C.STRUCTURE_MASK_TOKEN, jnp.int32)
+    dmask = jnp.ones((B, L), bool).at[:, 0].set(False).at[:, -1].set(False)
+    gibbs_sample = iterative_unmask_sample(
+        fwd, jax.random.PRNGKey(11), init, dmask, num_steps=4,
+        temperature=1.4, top_p=0.9)
+    eb_sample, eb_steps = entropy_bounded_unmask_sample(
+        fwd, jax.random.PRNGKey(13), init, dmask, entropy_budget=3.0,
+        max_steps=16)
     return {
         "logits_slice": np.asarray(logits[:, :4, :8], np.float32),
         "loss": np.asarray(loss, np.float32),
         "sample": np.asarray(sample, np.int32),
+        "gibbs_sample": np.asarray(gibbs_sample, np.int32),
+        "eb_sample": np.asarray(eb_sample, np.int32),
+        "eb_steps": np.asarray(eb_steps, np.int32),
     }
 
 
@@ -63,9 +84,12 @@ def test_golden_forward_loss_sample():
     np.testing.assert_allclose(got["logits_slice"], ref["logits_slice"],
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(got["loss"], ref["loss"], atol=1e-4, rtol=1e-4)
-    # trajectory is PRNG-dependent; exact token match pins both the math and
-    # the RNG consumption order
+    # trajectories are PRNG-dependent; exact token match pins both the math
+    # and the RNG consumption order
     np.testing.assert_array_equal(got["sample"], ref["sample"])
+    np.testing.assert_array_equal(got["gibbs_sample"], ref["gibbs_sample"])
+    np.testing.assert_array_equal(got["eb_sample"], ref["eb_sample"])
+    np.testing.assert_array_equal(got["eb_steps"], ref["eb_steps"])
 
 
 if __name__ == "__main__":
