@@ -59,6 +59,7 @@ class ESM3Config:
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
     scan_layers: bool = True
+    scan_unroll: int = 1   # >1 lets XLA pipeline across layer boundaries
     remat: bool = True
     attn_backend: str = "auto"
 
@@ -177,6 +178,7 @@ class TransformerStack(nn.Module):
                     split_rngs={"params": True},
                     length=n_rest,
                     in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    unroll=cfg.scan_unroll,
                 )(cfg, name="blocks")
                 x, _ = blocks(x, rot_cos, rot_sin, mask)
             else:
