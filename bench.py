@@ -65,12 +65,13 @@ def main():
     first_call = time.time() - t0
 
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.time()
         out = sample(params, jax.random.PRNGKey(i + 1))
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
+    p50 = sorted(times)[len(times) // 2]
     conf_per_sec = num_samples / best
 
     result = {
@@ -85,6 +86,7 @@ def main():
             "seq_len_with_specials": len(seq_tokens),
             "best_wall_s": round(best, 3),
             "per_step_ms_batch": round(best / num_steps * 1000.0, 2),
+            "p50_per_step_ms": round(p50 / num_steps * 1000.0, 2),
             "first_call_s": round(first_call, 2),
             "device": str(jax.devices()[0]),
         },
