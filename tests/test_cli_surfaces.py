@@ -1,0 +1,109 @@
+"""CLI surface tests: analyze subcommands, sweep sampling, plots, logging."""
+
+import json
+
+import numpy as np
+import pytest
+
+from esmdiff_tpu.core import protein
+
+BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+
+
+@pytest.fixture(scope="module")
+def ensembles(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_ens")
+    prot = protein.from_pdb_file(BPTI)
+    if isinstance(prot, list):
+        prot = prot[0]
+
+    def make(path, scale, n, seed):
+        rr = np.random.RandomState(seed)
+        bb = prot.backbone_coords()
+        prots = [protein.from_backbone(bb + rr.randn(*bb.shape) * scale,
+                                       sequence=prot.sequence)
+                 for _ in range(n)]
+        protein.ensemble_to_pdb_file(prots, path)
+
+    make(root / "target.pdb", 0.4, 20, 1)
+    make(root / "pred.pdb", 0.4, 10, 2)
+    return root
+
+
+def test_analyze_cli_bpti(ensembles, tmp_path, capsys):
+    from esmdiff_tpu.cli.analyze import main
+
+    clusters = tmp_path / "clusters"
+    clusters.mkdir()
+    import shutil
+
+    shutil.copy(BPTI, clusters / "bpti_1.pdb")
+    main(["bpti", "--preds", str(ensembles / "pred.pdb"),
+          "--target", str(ensembles / "target.pdb"),
+          "--clusters", str(clusters), "--lagtime", "2",
+          "--output", str(tmp_path / "out"), "--plot"])
+    out = capsys.readouterr().out
+    assert "js_pwd" in out and "TM-ens" in out
+    assert (tmp_path / "out" / "js_metrics.csv").exists()
+    assert (tmp_path / "out" / "tica2d_all.png").exists()
+    assert (tmp_path / "out" / "bpti_tm_rmsd_div.json").exists()
+
+
+def test_analyze_cli_ped(ensembles, tmp_path, capsys):
+    from esmdiff_tpu.cli.analyze import main
+
+    main(["ped", "--preds", str(ensembles / "pred.pdb"),
+          "--targets", str(ensembles.parent / ensembles.name),
+          "--output", str(tmp_path / "ped_out")])
+    results = json.loads(
+        (tmp_path / "ped_out" / "ped_metrics.json").read_text())
+    assert "mae_pwd" in results
+
+
+def test_sweep_sampling():
+    import random
+
+    from esmdiff_tpu.cli.sweep import sample_value
+
+    rng = random.Random(0)
+    v = sample_value(rng, {"type": "loguniform", "low": 1e-5, "high": 1e-3})
+    assert 1e-5 <= v <= 1e-3
+    v = sample_value(rng, {"type": "choice", "values": [8, 16]})
+    assert v in (8, 16)
+    v = sample_value(rng, {"type": "int", "low": 2, "high": 5})
+    assert 2 <= v <= 5
+    v = sample_value(rng, {"type": "uniform", "low": 0.0, "high": 1.0})
+    assert 0.0 <= v <= 1.0
+    with pytest.raises(ValueError):
+        sample_value(rng, {"type": "nope"})
+
+
+def test_plots_render(tmp_path):
+    from esmdiff_tpu.eval import plots
+
+    rng = np.random.RandomState(0)
+    plots.scatterplot_2d(
+        {"target": rng.randn(50, 2), "pred": rng.randn(30, 2)},
+        tmp_path / "tica.png")
+    plots.scatterplot_apo(rng.rand(10), rng.rand(10), tmp_path / "apo.png",
+                          regplot=True)
+    plots.heatmap(rng.rand(20, 20), tmp_path / "hm.png")
+    for f in ("tica.png", "apo.png", "hm.png"):
+        assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_metric_logger_and_timer(tmp_path, capsys):
+    from esmdiff_tpu.utils.logging import MetricLogger, Timer
+
+    logger = MetricLogger(tmp_path / "m.csv")
+    logger.log({"loss": 1.0, "step": 1})
+    logger.log({"loss": 0.5, "step": 2})
+    rows = (tmp_path / "m.csv").read_text().splitlines()
+    assert len(rows) == 3  # header + 2
+    sink_got = []
+    logger.add_sink(sink_got.append)
+    logger.log({"loss": 0.1, "step": 3})
+    assert sink_got and sink_got[0]["loss"] == 0.1
+    with Timer("phase"):
+        pass
+    assert "Elapsed time (phase)" in capsys.readouterr().out
