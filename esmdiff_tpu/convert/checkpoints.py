@@ -25,7 +25,8 @@ def _is_orbax_dir(path: Path) -> bool:
     return path.is_dir()
 
 
-def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None):
+def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None,
+                 trunk_cfg=None, **runtime_kwargs):
     """Build an ESM3Runtime for sampling from a checkpoint path."""
     from esmdiff_tpu.api.protein_api import ESM3Runtime
     from esmdiff_tpu.models.esm3 import ESM3Config
@@ -38,7 +39,8 @@ def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None):
     from .torch_to_jax import convert_trunk, load_torch_state_dict, strip_prefix
 
     runtime = ESM3Runtime.random_init(
-        trunk_cfg=ESM3Config(head_type="structure"))
+        trunk_cfg=trunk_cfg or ESM3Config(head_type="structure"),
+        **runtime_kwargs)
     sd = load_torch_state_dict(str(path))
     if any(k.startswith("net.") for k in sd):
         sd = strip_prefix(sd, "net.")

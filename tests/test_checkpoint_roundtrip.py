@@ -38,6 +38,45 @@ def trained_run(tmp_path_factory):
     return root / "run", result
 
 
+def test_load_runtime_from_torch_file(tmp_path):
+    """Torch-file path: export a tiny trunk to DeepSpeed layout, load it."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from esmdiff_tpu.convert.checkpoints import load_runtime
+    from esmdiff_tpu.convert.torch_to_jax import (
+        export_torch_state_dict, trunk_rules)
+    from esmdiff_tpu.models.esm3 import ESM3, esm3_tiny
+    from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+    cfg = esm3_tiny(dtype="float32", head_type="structure",
+                    n_structure_heads=4101)
+    model = ESM3(cfg)
+    seq = jnp.full((1, 8), 5, jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), sequence_tokens=seq,
+                        structure_coords=jnp.zeros((1, 8, 3, 3)))["params"]
+    rules = trunk_rules(cfg.n_layers, cfg.n_layers_geom, cfg.head_type)
+    sd = export_torch_state_dict(
+        params, rules, n_scan_layers=cfg.n_layers - cfg.n_layers_geom,
+        scan_layer_offset=cfg.n_layers_geom)
+    ckpt = tmp_path / "mp_rank_00_model_states.pt"
+    torch.save({"module": {("net." + k): torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()}}, ckpt)
+
+    runtime = load_runtime(
+        str(ckpt), trunk_cfg=cfg,
+        encoder_cfg=EncoderConfig(d_model=32, n_heads=2, v_heads=4,
+                                  n_layers=2, d_out=8, knn=8),
+        decoder_cfg=DecoderConfig(d_model=32, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False))
+    out = runtime.trunk.apply({"params": runtime.trunk_params},
+                              sequence_tokens=seq)
+    ref = model.apply({"params": params}, sequence_tokens=seq)
+    np.testing.assert_allclose(np.asarray(out.structure_logits),
+                               np.asarray(ref.structure_logits), atol=1e-5)
+
+
 def test_load_runtime_and_sample(trained_run):
     from esmdiff_tpu.convert.checkpoints import load_runtime
     from esmdiff_tpu.api.generation import EnsembleSampler
