@@ -104,16 +104,27 @@ def _load_runtime_from_orbax(path: Path):
     return runtime
 
 
-def load_ar_params(ckpt_path: str, template_params):
-    """Restore CLM/JLM params from an orbax dir (this framework's runs).
-    Torch-side HF conversion can be added via rules when needed."""
+def load_ar_params(ckpt_path: str, template_params,
+                   model_type: str = "clm", n_layers: int = 12):
+    """Restore CLM/JLM params from an orbax dir (this framework's runs) or
+    convert an HF torch checkpoint (convert/ar_rules.py)."""
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_path)
-    if not path.is_dir():
-        raise NotImplementedError(
-            "HF torch CLM/JLM conversion not wired yet; train with this "
-            "framework or supply an orbax checkpoint dir")
-    restored = ocp.StandardCheckpointer().restore(
-        path.absolute(), jax.device_get(template_params))
-    return restored
+    if path.is_dir():
+        return ocp.StandardCheckpointer().restore(
+            path.absolute(), jax.device_get(template_params))
+
+    from .ar_rules import convert_clm, convert_jlm
+    from .torch_to_jax import load_torch_state_dict, strip_prefix
+
+    sd = load_torch_state_dict(str(path))
+    if any(k.startswith("net.") for k in sd):
+        sd = strip_prefix(sd, "net.")
+    convert = convert_clm if model_type == "clm" else convert_jlm
+    params, report = convert(template_params, sd, n_layers=n_layers,
+                             strict=False)
+    print(f"[load_ar_params] converted {model_type} from {path} "
+          f"({len(report['missing'])} missing, "
+          f"{len(report['unmapped'])} unmapped)")
+    return params
