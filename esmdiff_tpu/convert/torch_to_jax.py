@@ -246,15 +246,26 @@ def convert_params(
     n_scan_layers: int = 0,
     scan_layer_offset: int = 1,
     key_overrides: dict[str, str] | None = None,
+    value_transforms: dict[str, Any] | None = None,
     strict: bool = True,
 ):
     """Fill a jax param template from a torch state_dict using ``rules``.
 
+    key_overrides: torch-key renames for checkpoint naming drift.
+    value_transforms: {torch_key: fn(array)->array} applied BEFORE the rule's
+    layout transform — the hook for channel-order permutations (e.g. the
+    geometric-attention projection packing, see ROUND1_NOTES.md).
     Returns (params, report) where report lists unmapped/missing keys.
     """
     import flax
 
     key_overrides = key_overrides or {}
+    value_transforms = value_transforms or {}
+
+    def fetch(tkey):
+        arr = state_dict[tkey]
+        vt = value_transforms.get(tkey)
+        return vt(arr) if vt is not None else arr
     flat = flax.traverse_util.flatten_dict(template_params)
     out = {}
     missing, unmapped = [], []
@@ -275,7 +286,7 @@ def convert_params(
                     missing.append(tkey)
                     ok = False
                     break
-                layers.append(tf(state_dict[tkey]))
+                layers.append(tf(fetch(tkey)))
             arr = np.stack(layers) if ok else tmpl
         else:
             tkey, tf = rule
@@ -284,7 +295,7 @@ def convert_params(
                 missing.append(tkey)
                 arr = tmpl
             else:
-                arr = tf(state_dict[tkey])
+                arr = tf(fetch(tkey))
         if np.shape(arr) != np.shape(tmpl):
             raise ValueError(
                 f"shape mismatch for {'/'.join(path)}: torch {np.shape(arr)} "
