@@ -158,7 +158,7 @@ class EnsembleSampler:
                  sample_max_t: float, use_prior: bool):
         key_shape = (B, L)
 
-        def fn(params, key, seq_tokens, seq_id, prior):
+        def fn(params, key, seq_tokens, lengths, prior):
             sampler = MDLM(
                 self.runtime.trunk, self.runtime.sigma_embedder,
                 noise=self.noise, cfg=self.mdlm_cfg)
@@ -167,7 +167,7 @@ class EnsembleSampler:
                 num_steps=num_steps, eps=eps,
                 input_prior=prior if use_prior else None,
                 sample_max_t=sample_max_t,
-                sequence_id=seq_id,
+                lengths=lengths,
             )
 
         return jax.jit(fn)
@@ -185,6 +185,7 @@ class EnsembleSampler:
         sample_max_t: float = 1.0,
         budget: int = N_MAX_RESIDUE_SQUARE,
         max_batch: Optional[int] = None,
+        ref_compat: bool = False,
     ) -> np.ndarray:
         """Generate ``num_samples`` structure-token strings for ``sequence``.
 
@@ -192,23 +193,31 @@ class EnsembleSampler:
         decode.  When mask_ids/filled_ids are given, ``structure_tokens``
         (with BOS/EOS) provides the inpainting prior
         (reference sample_esmdiff.py:196-209).
+
+        ref_compat: the reference masks TOKEN position ``idx`` in the BOS-led
+        array (sample_esmdiff.py:201-202), i.e. RESIDUE ``idx-1`` — an
+        apparent off-by-one vs its own gibbs-mode sequence-char masking.  The
+        default here masks residue ``idx`` (consistent semantics);
+        ``ref_compat=True`` reproduces the reference's indexing bit-for-bit
+        for output-level parity runs.
         """
         seq_padded, Lw = self._padded_tokens(sequence, None)
         Lpad = len(seq_padded)
 
         use_prior = mask_ids is not None or filled_ids is not None
+        off = 0 if ref_compat else 1  # +1 maps residue idx -> token idx
         prior_row = np.full((Lpad,), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
         if use_prior:
             assert structure_tokens is not None
             prior_row[:Lw] = structure_tokens
             if mask_ids is not None:
                 for idx in mask_ids:
-                    prior_row[idx + 1] = C.STRUCTURE_MASK_TOKEN  # +1 for BOS
+                    prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
             else:
                 keep = set(filled_ids)
                 for idx in range(Lw - 2):
                     if idx not in keep:
-                        prior_row[idx + 1] = C.STRUCTURE_MASK_TOKEN
+                        prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
         else:
             prior_row[:Lw] = C.STRUCTURE_MASK_TOKEN
 
@@ -228,8 +237,11 @@ class EnsembleSampler:
                 "prior": np.tile(prior_row[None], (B, 1)),
             })
             seq_b = batch["seq"]
-            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
-            toks = fn(self._mdlm_params, k, seq_b, seq_id, batch["prior"])
+            # padding is a contiguous suffix by _padded_tokens construction,
+            # so prefix lengths fully describe the mask (flash-eligible)
+            lengths = jnp.sum(seq_b != C.SEQUENCE_PAD_TOKEN, axis=-1,
+                              dtype=jnp.int32)
+            toks = fn(self._mdlm_params, k, seq_b, lengths, batch["prior"])
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]  # strip BOS/EOS (reference :220-221)
@@ -282,12 +294,12 @@ class EnsembleSampler:
         stock_head = self.runtime.trunk.cfg.head_type == "esm3"
         trunk = self.runtime.trunk
 
-        def forward(params, tokens, seq_tokens, seq_id):
+        def forward(params, tokens, seq_tokens, lengths):
             out = trunk.apply(
                 {"params": params},
                 structure_tokens=tokens,
                 sequence_tokens=seq_tokens,
-                sequence_id=seq_id,
+                lengths=lengths,
             )
             logits = out.structure_logits.astype(jnp.float32)
             if not stock_head:
@@ -304,12 +316,12 @@ class EnsembleSampler:
             if cache_key not in self._gibbs_jit_cache:
                 # NB: params must be a jit ARGUMENT — closing over them bakes
                 # GBs of weights into the HLO as constants (see PERF.md).
-                def fn(params, key, init, dmask, seq_tokens, seq_id,
+                def fn(params, key, init, dmask, seq_tokens, lengths,
                        _steps=config.num_steps, _t=config.temperature,
                        _p=config.top_p):
                     return iterative_unmask_sample(
                         lambda toks: forward(params, toks, seq_tokens,
-                                             seq_id),
+                                             lengths),
                         key, init, dmask, num_steps=_steps,
                         temperature=_t, top_p=_p,
                     )
@@ -322,9 +334,10 @@ class EnsembleSampler:
                 "dmask": np.tile(decode_row[None], (B, 1)),
             })
             seq_b = batch["seq"]
-            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
+            lengths = jnp.sum(seq_b != C.SEQUENCE_PAD_TOKEN, axis=-1,
+                              dtype=jnp.int32)
             toks = fn(self._gibbs_params(), k, batch["init"], batch["dmask"],
-                      seq_b, seq_id)
+                      seq_b, lengths)
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]
@@ -356,10 +369,10 @@ class EnsembleSampler:
         stock_head = self.runtime.trunk.cfg.head_type == "esm3"
         trunk = self.runtime.trunk
 
-        def forward(params, tokens, seq_tokens, seq_id):
+        def forward(params, tokens, seq_tokens, lengths):
             out = trunk.apply(
                 {"params": params}, structure_tokens=tokens,
-                sequence_tokens=seq_tokens, sequence_id=seq_id)
+                sequence_tokens=seq_tokens, lengths=lengths)
             logits = out.structure_logits.astype(jnp.float32)
             if not stock_head:
                 logits = shield_special_tokens(logits)
@@ -373,12 +386,12 @@ class EnsembleSampler:
             cache_key = ("eb", B, Lpad, entropy_budget, temperature, top_p,
                          max_steps)
             if cache_key not in self._gibbs_jit_cache:
-                def fn(params, key, init, dmask, seq_tokens, seq_id,
+                def fn(params, key, init, dmask, seq_tokens, lengths,
                        _eb=entropy_budget, _t=temperature, _p=top_p,
                        _ms=max_steps):
                     return entropy_bounded_unmask_sample(
                         lambda toks: forward(params, toks, seq_tokens,
-                                             seq_id),
+                                             lengths),
                         key, init, dmask, entropy_budget=_eb,
                         temperature=_t, top_p=_p, max_steps=_ms)
                 self._gibbs_jit_cache[cache_key] = jax.jit(fn)
@@ -390,9 +403,10 @@ class EnsembleSampler:
                 "dmask": np.tile(decode_row[None], (B, 1)),
             })
             seq_b = batch["seq"]
-            seq_id = (seq_b != C.SEQUENCE_PAD_TOKEN).astype(jnp.int32)
+            lengths = jnp.sum(seq_b != C.SEQUENCE_PAD_TOKEN, axis=-1,
+                              dtype=jnp.int32)
             toks, n_steps = fn(self._gibbs_params(), k, batch["init"],
-                               batch["dmask"], seq_b, seq_id)
+                               batch["dmask"], seq_b, lengths)
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]

@@ -151,7 +151,8 @@ class MDLM:
         return sigma
 
     def forward_logits(self, params, xt, condition_seq, sigma,
-                       shield_specials: bool = False, sequence_id=None):
+                       shield_specials: bool = False, sequence_id=None,
+                       lengths=None):
         """Full conditioned forward -> parameterized log-probs
         (reference _model_wrapper, model.py:464-492)."""
         if sigma is not None:
@@ -166,6 +167,7 @@ class MDLM:
             structure_tokens=xt,
             sequence_tokens=condition_seq,
             sequence_id=sequence_id,
+            lengths=lengths,
             auxiliary_embeddings=aux,
         )
         logits = logits_parameterization(out.structure_logits, xt, self.cfg)
@@ -266,6 +268,7 @@ class MDLM:
         sample_max_t: float = 1.0,
         shield_specials: bool = True,
         sequence_id=None,
+        lengths=None,
     ):
         """25-step ancestral denoising as one ``lax.scan``
         (reference ddpm_sample/_ddpm_update, model.py:543-607).
@@ -304,6 +307,7 @@ class MDLM:
             log_p_x0, _ = self.forward_logits(
                 params, x, sequence_tokens, sigma_t[:, None],
                 shield_specials=shield_specials, sequence_id=sequence_id,
+                lengths=lengths,
             )
             q_xs = jnp.exp(log_p_x0) * (mc_t - mc_s)
             q_xs = q_xs.at[:, :, cfg.mask_index].set(mc_s[:, :, 0])

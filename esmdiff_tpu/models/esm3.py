@@ -100,7 +100,7 @@ class TransformerBlock(nn.Module):
     use_geom_attn: bool = False
 
     @nn.compact
-    def __call__(self, x, rot_cos, rot_sin, mask, affine=None,
+    def __call__(self, x, rot_cos, rot_sin, mask, lengths=None, affine=None,
                  affine_mask=None, sequence_id=None, chain_id=None,
                  skip_geom: bool = False):
         cfg = self.cfg
@@ -109,7 +109,7 @@ class TransformerBlock(nn.Module):
             d_model=cfg.d_model, n_heads=cfg.n_heads, dtype=cfg.jnp_dtype,
             param_dtype=cfg.jnp_param_dtype, attn_backend=cfg.attn_backend,
             name="attn",
-        )(x, rot_cos, rot_sin, mask=mask)
+        )(x, rot_cos, rot_sin, mask=mask, lengths=lengths)
         x = x + r / scale
         # When every frame is masked (no input coordinates — the MDLM
         # training/sampling path), geometric attention contributes exactly 0
@@ -137,9 +137,9 @@ class _ScanBlock(nn.Module):
     cfg: ESM3Config
 
     @nn.compact
-    def __call__(self, x, rot_cos, rot_sin, mask):
+    def __call__(self, x, rot_cos, rot_sin, mask, lengths):
         x = TransformerBlock(self.cfg, use_geom_attn=False, name="block")(
-            x, rot_cos, rot_sin, mask
+            x, rot_cos, rot_sin, mask, lengths
         )
         return x, None
 
@@ -149,18 +149,30 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, sequence_id=None, affine: Optional[Affine3D] = None,
-                 affine_mask=None, chain_id=None, skip_geom: bool = False):
+                 affine_mask=None, chain_id=None, skip_geom: bool = False,
+                 lengths=None):
         cfg = self.cfg
         L = x.shape[1]
         rot_cos, rot_sin = rotary_tables(
             L, cfg.d_model // cfg.n_heads, dtype=jnp.float32
         )
+        # Masking contract (see nn/attention.py): ``lengths`` = prefix padding
+        # (flash-eligible); ``sequence_id`` = arbitrary packing (XLA mask path
+        # only).  Passing both is ambiguous.
+        if sequence_id is not None and lengths is not None:
+            raise ValueError("pass either sequence_id or lengths, not both")
         mask = sequence_id_mask(sequence_id)
+        if sequence_id is None and lengths is not None:
+            # geometric attention keys off sequence_id; a prefix-length mask
+            # is the equivalent 0/1 id pattern
+            sequence_id = (
+                jnp.arange(L)[None, :] < lengths[:, None]
+            ).astype(jnp.int32)
 
         for i in range(cfg.n_layers_geom):
             x = TransformerBlock(cfg, use_geom_attn=True, name=f"block{i}")(
-                x, rot_cos, rot_sin, mask, affine, affine_mask, sequence_id,
-                chain_id, skip_geom=skip_geom,
+                x, rot_cos, rot_sin, mask, lengths, affine, affine_mask,
+                sequence_id, chain_id, skip_geom=skip_geom,
             )
 
         n_rest = cfg.n_layers - cfg.n_layers_geom
@@ -177,14 +189,15 @@ class TransformerStack(nn.Module):
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     length=n_rest,
-                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast,
+                             nn.broadcast),
                     unroll=cfg.scan_unroll,
                 )(cfg, name="blocks")
-                x, _ = blocks(x, rot_cos, rot_sin, mask)
+                x, _ = blocks(x, rot_cos, rot_sin, mask, lengths)
             else:
                 for i in range(cfg.n_layers_geom, cfg.n_layers):
                     x = TransformerBlock(cfg, name=f"block{i}")(
-                        x, rot_cos, rot_sin, mask
+                        x, rot_cos, rot_sin, mask, lengths
                     )
         pre_norm = x
         x = LayerNorm(name="norm")(x)
@@ -230,6 +243,7 @@ class ESM3(nn.Module):
         structure_coords=None,
         chain_id=None,
         sequence_id=None,
+        lengths=None,
         auxiliary_embeddings=None,
     ) -> ESMOutput:
         ref = next(
@@ -300,6 +314,6 @@ class ESM3(nn.Module):
             x = x + auxiliary_embeddings.astype(x.dtype)
         x, embedding = self.transformer(
             x, sequence_id, affine, affine_mask, chain_id,
-            skip_geom=skip_geom,
+            skip_geom=skip_geom, lengths=lengths,
         )
         return self.output_heads(x, embedding)

@@ -4,6 +4,15 @@ The XLA path is a straightforward einsum formulation that the TPU compiler
 fuses well for moderate L (proteins are <=1k residues).  The Pallas path
 (ops/flash_attention.py) tiles Q/K/V through VMEM for long sequences and large
 sample batches; select via ``backend``.
+
+Masking contract:
+  - ``lengths`` (B,) int32 — contiguous-prefix valid lengths (bucketed
+    padding).  Supported by BOTH paths; the only masking form the flash
+    kernel accepts.
+  - ``mask`` (B, 1|H, L, L) bool — arbitrary masks (packed multi-chain
+    ``sequence_id`` blocks, ...).  XLA path ONLY: the flash kernel would
+    silently mis-attend on non-prefix masks, so requesting ``backend="flash"``
+    with a mask raises at trace time instead.
 """
 
 from __future__ import annotations
@@ -14,17 +23,33 @@ _FLASH_MIN_LEN = 256  # below this, XLA's fused softmax wins on v5e
 
 
 def dot_product_attention(
-    q, k, v, bias=None, mask=None, backend: str = "auto"
+    q, k, v, bias=None, mask=None, lengths=None, backend: str = "auto"
 ):
     """q,k,v: (B, L, H, Dh).  mask: (B, 1|H, L, L) bool, True = attend.
+    lengths: (B,) int32 valid-prefix lengths (mutually exclusive with mask).
 
     Softmax is accumulated in fp32 regardless of the io dtype (bf16-safe).
     """
+    if mask is not None and lengths is not None:
+        raise ValueError("pass either `mask` or `lengths`, not both")
     if backend == "auto":
-        backend = "flash" if (q.shape[1] >= _FLASH_MIN_LEN and bias is None) else "xla"
+        backend = (
+            "flash"
+            if (q.shape[1] >= _FLASH_MIN_LEN and bias is None and mask is None)
+            else "xla"
+        )
     if backend == "flash":
+        if mask is not None:
+            raise ValueError(
+                "the flash path accepts only `lengths` (prefix padding); "
+                "arbitrary masks must use the XLA path (backend='xla'/'auto')"
+            )
         from esmdiff_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, mask=mask)
+        return flash_attention(q, k, v, lengths=lengths)
+    if lengths is not None:
+        L = q.shape[1]
+        key_ok = jnp.arange(L)[None, :] < lengths[:, None]
+        mask = key_ok[:, None, None, :]
     return _xla_attention(q, k, v, bias=bias, mask=mask)
 
 

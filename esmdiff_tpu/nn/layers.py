@@ -53,7 +53,7 @@ class MultiHeadAttention(nn.Module):
     attn_backend: str = "auto"
 
     @nn.compact
-    def __call__(self, x, rot_cos, rot_sin, mask=None):
+    def __call__(self, x, rot_cos, rot_sin, mask=None, lengths=None):
         B, L, D = x.shape
         dh = self.d_model // self.n_heads
         h = LayerNorm(name="ln")(x)
@@ -69,7 +69,8 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(B, L, self.n_heads, dh)
         q = apply_rotary(q, rot_cos, rot_sin)
         k = apply_rotary(k, rot_cos, rot_sin)
-        o = dot_product_attention(q, k, v, mask=mask, backend=self.attn_backend)
+        o = dot_product_attention(q, k, v, mask=mask, lengths=lengths,
+                                  backend=self.attn_backend)
         o = o.reshape(B, L, self.d_model)
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype,

@@ -87,33 +87,21 @@ _flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def flash_attention(q, k, v, lengths=None, mask=None,
+def flash_attention(q, k, v, lengths=None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     interpret: bool | None = None):
     """q,k,v: (B, L, H, Dh) -> (B, L, H, Dh).
 
     lengths: optional (B,) int32 valid prefix lengths (padding suffix is
-    masked out).  ``mask`` is accepted for dispatch compatibility: None or a
-    contiguous-prefix mask produced by ``sequence_id_mask`` (converted to
-    lengths); arbitrary masks fall back to the XLA path.
+    masked out).  This is the ONLY masking form the kernel supports —
+    arbitrary masks (packed multi-chain blocks, ...) must go through the XLA
+    path; ``nn.attention.dot_product_attention`` enforces that at dispatch.
     """
     if interpret is None:
         # Mosaic kernels only compile for TPU; interpret elsewhere (tests,
         # CPU dev) so call sites stay backend-agnostic.
         interpret = jax.default_backend() != "tpu"
     B, L, H, Dh = q.shape
-    if mask is not None and lengths is None:
-        # (B, 1, L, L) prefix mask -> lengths; anything fancier -> XLA path
-        from esmdiff_tpu.nn.attention import _xla_attention
-
-        diag = mask[:, 0, 0, :]  # row 0: which keys are visible
-        is_prefix = jnp.all(
-            diag == (jnp.arange(L)[None, :] < jnp.sum(diag, -1, keepdims=True)),
-        )
-        lengths = jnp.sum(diag, axis=-1).astype(jnp.int32)
-        # cannot branch on traced is_prefix inside jit; caller contract says
-        # masks are prefix masks (bucketed padding).  Use lengths.
-        del is_prefix, _xla_attention
     if lengths is None:
         lengths = jnp.full((B,), L, jnp.int32)
     return _flash_attention_core(q, k, v, lengths, min(block_q, L),

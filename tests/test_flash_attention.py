@@ -44,15 +44,34 @@ def test_non_multiple_block():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_mask_dispatch():
-    """The nn.attention dispatcher's mask is converted to lengths."""
+def test_flash_rejects_masks():
+    """The flash kernel only supports prefix ``lengths``; handing it any
+    mask (which could be non-prefix, e.g. packed multi-chain blocks) must be
+    a loud error, not silent mis-attention."""
     B, L = 2, 256
     q, k, v = _qkv(B=B, L=L)
     lengths = jnp.asarray([64, 256], jnp.int32)
     seq_id = (jnp.arange(L)[None, :] < lengths[:, None]).astype(jnp.int32)
     mask = sequence_id_mask(seq_id)
-    out = flash_attention(q, k, v, mask=mask, interpret=True)
-    ref = _xla_attention(q, k, v, mask=mask)
+    with pytest.raises(TypeError):
+        flash_attention(q, k, v, mask=mask, interpret=True)
+    from esmdiff_tpu.nn.attention import dot_product_attention
+
+    with pytest.raises(ValueError, match="flash path accepts only"):
+        dot_product_attention(q, k, v, mask=mask, backend="flash")
+    with pytest.raises(ValueError, match="not both"):
+        dot_product_attention(q, k, v, mask=mask, lengths=lengths)
+
+
+def test_dispatch_lengths_paths_agree():
+    """dot_product_attention: lengths via XLA == lengths via flash."""
+    from esmdiff_tpu.nn.attention import dot_product_attention
+
+    B, L = 2, 256
+    q, k, v = _qkv(B=B, L=L)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    ref = dot_product_attention(q, k, v, lengths=lengths, backend="xla")
+    out = dot_product_attention(q, k, v, lengths=lengths, backend="flash")
     for b in range(B):
         Lb = int(lengths[b])
         np.testing.assert_allclose(
