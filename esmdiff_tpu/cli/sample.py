@@ -73,6 +73,12 @@ def get_argparser():
     p.add_argument("--entropy_budget", type=float, default=1.0,
                    help="eb mode: max cumulative entropy (nats) committed "
                         "per trunk forward.")
+    p.add_argument("--ref_compat", action="store_true",
+                   help="ddpm inpainting: reproduce the reference's mask "
+                        "indexing exactly (it masks TOKEN idx in the BOS-led "
+                        "array = residue idx-1, sample_esmdiff.py:201-202). "
+                        "Default masks residue idx, consistent with --mode "
+                        "gibbs sequence-char masking.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", type=str, default="full",
                    choices=["full", "tiny"],
@@ -153,7 +159,7 @@ def main(argv=None):
                 seq, args.num_samples, num_steps=args.num_steps,
                 seed=args.seed, mask_ids=mask_ids, filled_ids=filled_ids,
                 structure_tokens=structure_tokens,
-                max_batch=args.max_batch,
+                max_batch=args.max_batch, ref_compat=args.ref_compat,
             )
         t_tokens = time.time() - t0
         prots = sampler.decode_ensemble(seq, tokens)

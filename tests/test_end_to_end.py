@@ -93,6 +93,25 @@ def test_ddpm_inpainting_end_to_end(tiny_runtime):
     np.testing.assert_array_equal(tokens[1][keep], interior[keep])
 
 
+def test_ddpm_inpainting_ref_compat(tiny_runtime):
+    """ref_compat=True reproduces the reference's off-by-one: masking
+    residue ids {i} masks TOKEN positions {i} in the BOS-led array, i.e.
+    residues {i-1} (sample_esmdiff.py:201-202)."""
+    prot = ESMProtein.from_pdb(BPTI)
+    pt = tiny_runtime.encode(prot)
+    sampler = EnsembleSampler(tiny_runtime)
+    mask_ids = [3, 4, 5]
+    tokens = sampler.ddpm_ensemble(
+        prot.sequence, num_samples=1, num_steps=4,
+        mask_ids=mask_ids, structure_tokens=pt.structure,
+        ref_compat=True,
+    )
+    interior = pt.structure[1:-1]
+    keep = np.ones(len(prot.sequence), dtype=bool)
+    keep[[i - 1 for i in mask_ids]] = False  # shifted by the ref's off-by-one
+    np.testing.assert_array_equal(tokens[0][keep], interior[keep])
+
+
 def test_ddpm_filled_ids(tiny_runtime):
     """filled_ids = keep only these; everything else regenerates
     (reference sample_esmdiff.py:203-207)."""
