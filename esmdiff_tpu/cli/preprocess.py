@@ -52,9 +52,14 @@ def process_one(args):
     if res is not None and (res < 0.01 or res > max_resolution):
         return [{"file": Path(path).name,
                  "status": f"resolution_filtered ({res})"}]
+    # quaternary category from the polymer chain content (reference
+    # computes this AlphaFold-style; consumed by filter_metadata.py:60-74)
+    pdb_name = Path(path).stem.split(".")[0]
+    seqs = {p.sequence for p in obj.chains.values()}
+    quaternary = "homomer" if len(seqs) <= 1 else "heteromer"
     for cid, prot in obj.chains.items():
         L = len(prot.aatype)
-        name = f"{Path(path).stem.split('.')[0]}_{cid}"
+        name = f"{pdb_name}_{cid}"
         if L < min_len or L > max_len:
             rows.append({"file": name, "status": f"length_filtered ({L})"})
             continue
@@ -71,7 +76,64 @@ def process_one(args):
             "resolution": res if res is not None else "",
             "method": obj.header.method,
             "release_date": obj.header.release_date,
+            "pdb_name": pdb_name,
+            "num_chains": len(obj.chains),
+            "quaternary_category": quaternary,
+            "oligomeric_detail": obj.header.oligomeric_detail,
         })
+    return rows
+
+
+def filter_metadata(csv_path, output_csv=None, min_len: int = 10,
+                    max_len: int = 1000, min_res: float = 0.01,
+                    max_res: float = 5.0,
+                    oligomeric: str = "monomeric") -> list[dict]:
+    """Post-preprocess dataset curation (reference filter_metadata.py:11-87):
+    length [10,1000], resolution [0.01,5.0], one chain per homomeric entry,
+    and oligomeric_detail restricted to all-``monomeric`` assemblies.
+    Returns the kept rows; writes them to ``output_csv`` when given."""
+    with open(csv_path, newline="") as f:
+        rows = [r for r in csv.DictReader(f) if r.get("status") == "ok"]
+    n0 = len(rows)
+
+    rows = [r for r in rows if min_len <= int(r["length"]) <= max_len]
+    n1 = len(rows)
+    rows = [
+        r for r in rows
+        if r.get("resolution") not in ("", None)
+        and min_res <= float(r["resolution"]) <= max_res
+    ]
+    n2 = len(rows)
+
+    # homomer dedup: keep every heteromer chain, but only the first chain of
+    # each multi-chain homomeric pdb (reference filter_metadata.py:60-74)
+    kept, seen_homomer = [], set()
+    for r in rows:
+        if (r.get("quaternary_category") == "homomer"
+                and int(r.get("num_chains", 1) or 1) > 1):
+            if r["pdb_name"] in seen_homomer:
+                continue
+            seen_homomer.add(r["pdb_name"])
+        kept.append(r)
+    rows = kept
+    n3 = len(rows)
+
+    if oligomeric:
+        # allow "monomeric", "monomeric,monomeric", ... (reference :77-81)
+        rows = [
+            r for r in rows
+            if r.get("oligomeric_detail")
+            and set(r["oligomeric_detail"].split(",")) == {oligomeric}
+        ]
+    print(f"[filter] {n0} chains -> {n1} after length [{min_len},{max_len}] "
+          f"-> {n2} after resolution [{min_res},{max_res}] "
+          f"-> {n3} after homomer dedup -> {len(rows)} after "
+          f"oligomeric_detail == {oligomeric!r}")
+    if output_csv is not None and rows:
+        with open(output_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
     return rows
 
 
@@ -84,7 +146,24 @@ def main(argv=None):
     p.add_argument("--min_len", type=int, default=10)
     p.add_argument("--max_len", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--filter_only", action="store_true",
+                   help="input_dir is an existing metadata.csv: run only the "
+                        "curation stage (reference filter_metadata.py) and "
+                        "write filtered.csv next to it.")
+    p.add_argument("--oligomeric", type=str, default="monomeric",
+                   help="Keep only chains whose assemblies are all this "
+                        "oligomeric_detail ('' disables; reference "
+                        "filter_metadata.py:77-81).")
     args = p.parse_args(argv)
+
+    if args.filter_only:
+        csv_in = Path(args.input_dir)
+        out_csv = Path(args.output_dir) / "filtered.csv"
+        out_csv.parent.mkdir(parents=True, exist_ok=True)
+        filter_metadata(csv_in, out_csv, min_len=args.min_len,
+                        max_len=args.max_len, max_res=args.max_resolution,
+                        oligomeric=args.oligomeric)
+        return
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -102,7 +181,8 @@ def main(argv=None):
         all_rows = [process_one(w) for w in work]
     rows = [r for rs in all_rows for r in rs]
     fields = ["file", "status", "length", "resolution", "method",
-              "release_date"]
+              "release_date", "pdb_name", "num_chains",
+              "quaternary_category", "oligomeric_detail"]
     with open(out_dir / "metadata.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()

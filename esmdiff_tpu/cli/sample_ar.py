@@ -24,6 +24,10 @@ def main(argv=None):
                    choices=[None, "clm", "jlm"],
                    help="Inferred from --ckpt path if omitted.")
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="Training experiment yaml (configs/clm.yaml etc.): "
+                        "builds the AR net with the trained geometry and "
+                        "takes model_type from task_name.")
     p.add_argument("--n_samples", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--temperature", type=float, default=1.0)
@@ -33,9 +37,16 @@ def main(argv=None):
                    choices=["full", "tiny"])
     args = p.parse_args(argv)
 
+    train_cfg = None
+    if args.config:
+        from esmdiff_tpu.train.config import load_config
+
+        train_cfg = load_config(args.config)
     model_type = args.model_type
     if model_type is None:
-        if args.ckpt and "clm" in args.ckpt.lower():
+        if train_cfg is not None and train_cfg.task_name in ("clm", "jlm"):
+            model_type = train_cfg.task_name
+        elif args.ckpt and "clm" in args.ckpt.lower():
             model_type = "clm"
         elif args.ckpt and "jlm" in args.ckpt.lower():
             model_type = "jlm"
@@ -73,7 +84,12 @@ def main(argv=None):
         cond_dim = runtime.trunk.cfg.d_model
         ar_kw, jlm_kw = {}, {}
 
-    if model_type == "clm":
+    if train_cfg is not None:
+        from esmdiff_tpu.train.loop import build_clm, build_jlm
+
+        model = build_clm(train_cfg) if model_type == "clm" \
+            else build_jlm(train_cfg)
+    elif model_type == "clm":
         model = CLM(CLMConfig(cond_dim=cond_dim, **ar_kw))
     else:
         model = JLM(JLMConfig(cond_dim=cond_dim, **jlm_kw))

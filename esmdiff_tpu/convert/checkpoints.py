@@ -112,8 +112,12 @@ def load_ar_params(ckpt_path: str, template_params,
 
     path = Path(ckpt_path)
     if path.is_dir():
-        return ocp.StandardCheckpointer().restore(
-            path.absolute(), jax.device_get(template_params))
+        # orbax dir: either bare params or a full TrainState from a
+        # train-loop run (utils/checkpoint.py saves {step, params, opt_state})
+        raw = ocp.StandardCheckpointer().restore(path.absolute())
+        if isinstance(raw, dict) and "params" in raw and "opt_state" in raw:
+            raw = raw["params"]
+        return raw
 
     from .ar_rules import convert_clm, convert_jlm
     from .torch_to_jax import load_torch_state_dict, strip_prefix

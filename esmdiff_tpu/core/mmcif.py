@@ -30,6 +30,10 @@ class MmcifHeader:
     resolution: Optional[float] = None
     method: str = ""
     release_date: str = ""
+    # comma-joined _pdbx_struct_assembly.oligomeric_details values, e.g.
+    # "monomeric" or "monomeric,monomeric" (reference metadata convention
+    # consumed by filter_metadata.py:77-81)
+    oligomeric_detail: str = ""
 
 
 @dataclasses.dataclass
@@ -65,6 +69,9 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
     atom_cols: list[str] = []
     in_atom_loop = False
     pending_loop: Optional[list[str]] = None
+    assembly_cols: list[str] = []
+    in_assembly_loop = False
+    oligomeric: list[str] = []
     residues: dict[tuple[str, int, str], dict] = {}
     order: list[tuple[str, int, str]] = []
 
@@ -72,17 +79,31 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
         line = raw.rstrip("\n")
         if line.startswith("#"):
             in_atom_loop = False
+            in_assembly_loop = False
             pending_loop = None
             continue
         if line.startswith("loop_"):
             pending_loop = []
             in_atom_loop = False
+            in_assembly_loop = False
             continue
         if line.startswith("_atom_site."):
             if pending_loop is not None:
                 pending_loop.append(line.strip().split(".")[1].strip())
                 atom_cols = pending_loop
                 in_atom_loop = True
+            continue
+        if line.startswith("_pdbx_struct_assembly."):
+            key_name = line.strip().split(".", 1)[1].split()[0].strip()
+            if pending_loop is not None:
+                pending_loop.append(key_name)
+                assembly_cols = pending_loop
+                in_assembly_loop = True
+            else:
+                # key-value form: _pdbx_struct_assembly.oligomeric_details val
+                toks = _tokenize(line)
+                if key_name == "oligomeric_details" and len(toks) > 1:
+                    oligomeric.append(toks[1])
             continue
         if line.startswith("_"):
             if pending_loop is not None and not in_atom_loop:
@@ -108,6 +129,14 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
             elif key == "_pdbx_audit_revision_history.revision_date":
                 if not header.release_date:
                     header.release_date = val
+            continue
+        if in_assembly_loop and line and not line.startswith("_"):
+            toks = _tokenize(line)
+            if len(toks) == len(assembly_cols):
+                rec = dict(zip(assembly_cols, toks))
+                od = rec.get("oligomeric_details", "")
+                if od not in ("", ".", "?"):
+                    oligomeric.append(od)
             continue
         if in_atom_loop and line and not line.startswith("_"):
             toks = line.split()
@@ -154,6 +183,7 @@ def parse_mmcif(path: str | Path) -> MmcifObject:
 
     if not order:
         raise ParseError(f"no polymer atoms parsed from {path}")
+    header.oligomeric_detail = ",".join(oligomeric)
 
     chains: dict[str, Protein] = {}
     chain_ids = sorted({k[0] for k in order})

@@ -18,6 +18,33 @@ from .data import DataConfig
 
 
 @dataclasses.dataclass
+class CLMModelConfig:
+    """CLM net geometry (reference configs/experiment/clm.yaml:36-44)."""
+
+    d_model: int = 1280
+    d_ff: int = 2048
+    n_layers: int = 12
+    n_heads: int = 16
+    decoder_only: bool = False
+    dec_add_input_emb: bool = True   # clm.yaml:39
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass
+class JLMModelConfig:
+    """JLM net geometry (reference configs/experiment/jlm.yaml:33-42)."""
+
+    n_embd: int = 1280
+    n_layers: int = 48
+    n_heads: int = 16
+    n_positions: int = 2048
+    sep_strategy: str = "position"   # jlm.yaml:42
+    seq_loss_weight: float = 1.0
+    struct_embed_dim: int = 1280     # VQ-decoder embedding width
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass
 class ModelConfig:
     # trunk
     size: str = "full"            # full | tiny
@@ -40,6 +67,9 @@ class ModelConfig:
     condition_mask_rate: float = 0.0
     coupled_condition_mask: bool = False
     structure_only: bool = False
+    # AR heads (selected by TrainConfig.task_name = clm | jlm)
+    clm: CLMModelConfig = dataclasses.field(default_factory=CLMModelConfig)
+    jlm: JLMModelConfig = dataclasses.field(default_factory=JLMModelConfig)
 
 
 @dataclasses.dataclass
@@ -65,6 +95,10 @@ class TrainerConfig:
     limit_batches: float = 1.0    # fraction of batches (debug/limit.yaml)
     check_nans: bool = False      # detect_anomaly analogue (jax debug_nans)
     multihost: bool = False       # jax.distributed.initialize() on launch
+    # experiment-tracking backend: csv (built-in) | tensorboard | wandb
+    # (reference configs/logger/, train.yaml:10)
+    logger: str = "csv"
+    run_name: str = "esmdiff"
 
 
 @dataclasses.dataclass

@@ -62,6 +62,118 @@ def build_mdlm(cfg: TrainConfig) -> MDLM:
     return MDLM(net, se, noise=get_noise(m.noise), cfg=mdlm_cfg)
 
 
+def build_clm(cfg: TrainConfig):
+    """CLM fine-tune net (reference ConditionalLanguageModeling,
+    slm/models/model.py:289-313 + configs/experiment/clm.yaml:26-44)."""
+    from esmdiff_tpu.models.clm import CLM, CLMConfig
+
+    m = cfg.model.clm
+    return CLM(CLMConfig(
+        d_model=m.d_model, d_ff=m.d_ff, n_layers=m.n_layers,
+        n_heads=m.n_heads, decoder_only=m.decoder_only,
+        dec_add_input_emb=m.dec_add_input_emb, dtype=m.dtype))
+
+
+def build_jlm(cfg: TrainConfig):
+    """JLM fine-tune net (reference JointLanguageModeling,
+    slm/models/model.py:247-287 + configs/experiment/jlm.yaml:26-42)."""
+    from esmdiff_tpu.models.jlm import JLM, JLMConfig
+
+    m = cfg.model.jlm
+    return JLM(JLMConfig(
+        n_embd=m.n_embd, n_layers=m.n_layers, n_heads=m.n_heads,
+        n_positions=m.n_positions, sep_strategy=m.sep_strategy,
+        seq_loss_weight=m.seq_loss_weight,
+        struct_embed_dim=m.struct_embed_dim, dtype=m.dtype))
+
+
+def _clm_loss(model):
+    """CLM objective: next-structure-token CE given per-residue ESM3
+    embeddings (reference model.py:289-313)."""
+
+    def loss_fn(params, batch, key, training=True):
+        del key, training
+        mask = batch["mask"]
+        labels = jnp.where(mask > 0.5, batch["structure_tokens"], -100)
+        out = model.apply({"params": params},
+                          inputs_embeds=batch["embeddings"],
+                          labels=labels, attention_mask=mask)
+        return out["loss"], {"nll": out["loss"]}
+
+    return loss_fn
+
+
+def _jlm_loss(model):
+    """JLM objective: shift-by-one CE over both segments of the joint
+    (sequence, structure) stream (reference model.py:247-287)."""
+
+    def loss_fn(params, batch, key, training=True):
+        del key, training
+        mask = batch["mask"]
+        seq_labels = jnp.where(
+            mask > 0.5, batch["sequence_tokens"], -100)
+        str_labels = jnp.where(
+            mask > 0.5, batch["structure_tokens"], -100)
+        labels = jnp.concatenate([seq_labels, str_labels], axis=1)
+        out = model.apply({"params": params},
+                          sequence_embeddings=batch["embeddings"],
+                          structure_tokens=batch["structure_tokens"],
+                          labels=labels, mask=mask)
+        return out["loss"], {
+            "seq_nll": out["sequence_nll"],
+            "str_nll": out["structure_nll"],
+            "seq_acc": out["sequence_acc"],
+            "str_acc": out["structure_acc"],
+        }
+
+    return loss_fn
+
+
+def build_task(cfg: TrainConfig, emb_dim: Optional[int] = None):
+    """task_name -> (loss_fn(params, batch, key, training), init_fn(key)).
+
+    The reference trains three heads from the same harness
+    (MDLM/CLM/JLM, slm/models/model.py:247-313,316+, selected by
+    configs/experiment/*.yaml); here the task switch selects the model
+    builder, its init, and its loss.  CLM/JLM consume the precomputed
+    per-residue ESM3 embeddings from cli/dump.py --with_embeddings.
+    """
+    task = cfg.task_name
+    D = emb_dim if emb_dim is not None else C.ESM3_D_MODEL
+    if task == "mdlm":
+        mdlm = build_mdlm(cfg)
+        return (lambda p, b, k, training=True: mdlm.loss(
+                    p, b, k, training=training),
+                lambda: init_params(mdlm, cfg))
+    if task == "clm":
+        model = build_clm(cfg)
+
+        def init_fn():
+            emb = jnp.zeros((1, 8, D), jnp.float32)
+            lab = jnp.zeros((1, 8), jnp.int32)
+            return jax.jit(
+                lambda k: model.init(k, inputs_embeds=emb, labels=lab)
+            )(jax.random.PRNGKey(cfg.seed))["params"]
+
+        return _clm_loss(model), init_fn
+    if task == "jlm":
+        model = build_jlm(cfg)
+
+        def init_fn():
+            emb = jnp.zeros((1, 8, D), jnp.float32)
+            st = jnp.zeros((1, 8), jnp.int32)
+            lab = jnp.zeros((1, 16), jnp.int32)
+            mask = jnp.ones((1, 8), jnp.float32)
+            return jax.jit(
+                lambda k: model.init(k, sequence_embeddings=emb,
+                                     structure_tokens=st, labels=lab,
+                                     mask=mask)
+            )(jax.random.PRNGKey(cfg.seed))["params"]
+
+        return _jlm_loss(model), init_fn
+    raise ValueError(f"unknown task_name: {task!r} (mdlm | clm | jlm)")
+
+
 def init_params(mdlm: MDLM, cfg: TrainConfig):
     params = mdlm.init(jax.random.PRNGKey(cfg.seed))
     if cfg.model.pretrained_ckpt:
@@ -93,15 +205,27 @@ def train(cfg: TrainConfig) -> dict:
     if cfg.trainer.check_nans:
         jax.config.update("jax_debug_nans", True)
 
+    if cfg.task_name in ("clm", "jlm"):
+        # AR heads consume precomputed per-residue ESM3 embeddings
+        # (reference scripts/dump.py output; model.py:87-90,268,297)
+        cfg.data.with_embeddings = True
     dataset = data_mod.EncodingDataset(cfg.data, training=True)
     train_split, val_split = data_mod.train_val_split(dataset, cfg.data)
     print(f"[data] {len(train_split.indices)} train / "
           f"{len(val_split.indices)} val chains from {cfg.data.path}")
+    emb_dim = None
+    if cfg.data.with_embeddings:
+        probe = dataset.load(0, np.random.RandomState(0))
+        if "embeddings" not in probe:
+            raise ValueError(
+                f"task {cfg.task_name!r} needs embeddings in the encoding "
+                f"dump — regenerate with cli/dump.py --with_embeddings")
+        emb_dim = int(probe["embeddings"].shape[-1])
 
-    mdlm = build_mdlm(cfg)
-    params = init_params(mdlm, cfg)
+    loss_fn_t, init_fn = build_task(cfg, emb_dim=emb_dim)
+    params = init_fn()
     n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
-    print(f"[model] {n_params/1e6:.1f}M params")
+    print(f"[model] task={cfg.task_name} {n_params/1e6:.1f}M params")
 
     optimizer = tstate.make_optimizer(
         lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
@@ -114,16 +238,23 @@ def train(cfg: TrainConfig) -> dict:
     state = jax.device_put(state, shardings)
 
     def loss_fn(p, b, k):
-        return mdlm.loss(p, b, k)
+        return loss_fn_t(p, b, k)
 
     def eval_loss_fn(p, b, k):
-        return mdlm.loss(p, b, k, training=False)
+        return loss_fn_t(p, b, k, training=False)
 
     train_step = tstate.make_train_step(loss_fn, optimizer, mesh=mesh)
     eval_step = tstate.eval_step_fn(eval_loss_fn)
 
     ckpt = CheckpointManager(run_dir / "ckpt", save_top_k=cfg.trainer.save_top_k)
     logger = MetricLogger(run_dir / "metrics.csv")
+    if cfg.trainer.logger not in ("", "csv", "none"):
+        from esmdiff_tpu.utils.logging import make_sink
+        import dataclasses as _dc
+
+        logger.add_sink(make_sink(
+            cfg.trainer.logger, run_dir / "tb", run_name=cfg.trainer.run_name,
+            config={"n_params": int(n_params), **_dc.asdict(cfg.trainer)}))
     key = jax.random.PRNGKey(cfg.seed)
 
     if cfg.trainer.resume:

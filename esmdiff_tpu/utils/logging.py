@@ -45,6 +45,57 @@ class MetricLogger:
             sink(metrics)
 
 
+def make_sink(backend: str, log_dir: str | Path, run_name: str = "esmdiff",
+              config: dict | None = None) -> Callable[[dict], None]:
+    """Experiment-tracking sinks for MetricLogger.add_sink.
+
+    Pluggable-logger equivalent of the reference's configs/logger/ backends
+    (wandb default, tensorboard, csv, ...; SURVEY.md §5 observability).
+    Backends degrade gracefully: a missing package logs a warning once and
+    returns a no-op sink.
+    """
+    if backend == "tensorboard":
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except Exception as e:  # package absent in minimal envs
+            print(f"[logger] tensorboard unavailable ({e}); sink disabled")
+            return lambda m: None
+        writer = SummaryWriter(log_dir=str(log_dir))
+        if config:
+            writer.add_text("config", "\n".join(
+                f"{k}: {v}" for k, v in config.items()))
+
+        def tb_sink(metrics: dict):
+            step = int(metrics.get("step", 0))
+            split = metrics.get("split", "train")
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)) and k not in (
+                        "step", "epoch", "time"):
+                    writer.add_scalar(f"{split}/{k}", v, step)
+            writer.flush()
+
+        return tb_sink
+    if backend == "wandb":
+        try:
+            import wandb
+        except Exception as e:
+            print(f"[logger] wandb unavailable ({e}); sink disabled")
+            return lambda m: None
+        run = wandb.init(project=run_name, dir=str(log_dir), config=config,
+                         resume="allow")
+
+        def wandb_sink(metrics: dict):
+            step = int(metrics.get("step", 0))
+            split = metrics.get("split", "train")
+            run.log({f"{split}/{k}": v for k, v in metrics.items()
+                     if isinstance(v, (int, float))}, step=step)
+
+        return wandb_sink
+    if backend in ("", "none", "csv"):
+        return lambda m: None  # CSV is MetricLogger's built-in sink
+    raise ValueError(f"unknown logger backend: {backend!r}")
+
+
 class Timer:
     """Wall-clock phase timer (reference @timer, eval_utils.py:24-34)."""
 

@@ -11,7 +11,8 @@ BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
 
 
 def protein_to_mmcif(prot, entry_id="test", chain_id="A",
-                     resolution=1.8) -> str:
+                     resolution=1.8, oligomeric="monomeric",
+                     oligomeric_loop=False) -> str:
     """Minimal mmCIF writer (test fixture)."""
     lines = [
         f"data_{entry_id}",
@@ -19,6 +20,23 @@ def protein_to_mmcif(prot, entry_id="test", chain_id="A",
         f"_refine.ls_d_res_high {resolution}",
         "_exptl.method 'X-RAY DIFFRACTION'",
         "#",
+    ]
+    if oligomeric_loop:
+        lines += [
+            "loop_",
+            "_pdbx_struct_assembly.id",
+            "_pdbx_struct_assembly.oligomeric_details",
+            "_pdbx_struct_assembly.oligomeric_count",
+            f"1 {oligomeric} 1",
+            f"2 {oligomeric} 1",
+            "#",
+        ]
+    elif oligomeric:
+        lines += [
+            f"_pdbx_struct_assembly.oligomeric_details {oligomeric}",
+            "#",
+        ]
+    lines += [
         "loop_",
         "_atom_site.group_PDB",
         "_atom_site.id",
@@ -102,3 +120,36 @@ def test_preprocess_cli(bpti, tmp_path):
     meta = (out_dir / "metadata.csv").read_text()
     assert "resolution_filtered" in meta
     assert "length_filtered" in meta
+    assert "monomeric" in meta
+
+
+def test_oligomeric_parsing(bpti, tmp_path):
+    for loop in (False, True):
+        cif = tmp_path / f"o{int(loop)}.cif"
+        cif.write_text(protein_to_mmcif(bpti, oligomeric="dimeric",
+                                        oligomeric_loop=loop))
+        obj = mmcif.parse_mmcif(cif)
+        expect = "dimeric,dimeric" if loop else "dimeric"
+        assert obj.header.oligomeric_detail == expect
+
+
+def test_filter_metadata(bpti, tmp_path):
+    """Curation stage: oligomeric filter + homomer dedup
+    (reference filter_metadata.py:11-87)."""
+    from esmdiff_tpu.cli.preprocess import filter_metadata, main
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "mono.cif").write_text(
+        protein_to_mmcif(bpti, oligomeric="monomeric"))
+    (in_dir / "dimer.cif").write_text(
+        protein_to_mmcif(bpti, oligomeric="dimeric"))
+    main([str(in_dir), str(out_dir)])
+    kept = filter_metadata(out_dir / "metadata.csv",
+                           out_dir / "filtered.csv")
+    assert [r["file"] for r in kept] == ["mono_A"]
+    assert (out_dir / "filtered.csv").exists()
+    # oligomeric='' disables that filter
+    kept_all = filter_metadata(out_dir / "metadata.csv", None, oligomeric="")
+    assert len(kept_all) == 2

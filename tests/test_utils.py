@@ -48,3 +48,26 @@ def test_pseudo_beta_glycine_fallback():
     out = np.asarray(pseudo_beta(jnp.asarray(pos), jnp.asarray(aatype)))
     np.testing.assert_array_equal(out[0], [1, 1, 1])
     np.testing.assert_array_equal(out[1], [2, 2, 2])
+
+
+def test_metric_logger_sinks(tmp_path):
+    """CSV logger + tensorboard sink (reference pluggable loggers,
+    configs/logger/; SURVEY.md §5 observability)."""
+    from esmdiff_tpu.utils.logging import MetricLogger, make_sink
+
+    logger = MetricLogger(tmp_path / "m.csv")
+    seen = []
+    logger.add_sink(seen.append)
+    logger.add_sink(make_sink("tensorboard", tmp_path / "tb",
+                              config={"lr": 1e-5}))
+    logger.log({"loss": 1.5, "step": 1, "split": "train"})
+    logger.log({"loss": 1.2, "step": 2, "split": "val"})
+    assert len(seen) == 2
+    assert (tmp_path / "m.csv").read_text().count("\n") == 3
+    assert list((tmp_path / "tb").glob("events.*")), "tb event file written"
+    # unknown backend is a loud error; disabled backends are no-ops
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_sink("nonexistent", tmp_path)
+    make_sink("none", tmp_path)({"loss": 1.0})
