@@ -106,15 +106,17 @@ def bpti_rmsd_clusters(preds: dict[str, str | Path],
 # apo/holo & CoDNaS
 # ---------------------------------------------------------------------------
 
-def _pair_deviation(ca1, ca2):
-    """Per-residue deviation after Kabsch alignment of two conformers."""
-    import jax.numpy as jnp
+def _load_chain_with_seq(path, model: int = 0):
+    """(CA coords with NaN where unresolved, one-letter sequence)."""
+    from esmdiff_tpu.core import protein as protein_io
+    from esmdiff_tpu.core import residue_constants as rc
 
-    from .geo import align
-
-    L = min(len(ca1), len(ca2))
-    a = np.asarray(align(jnp.asarray(ca1[:L]), jnp.asarray(ca2[:L])))
-    return np.sqrt(np.sum((a - ca2[:L]) ** 2, axis=-1))
+    got = protein_io.from_pdb_file(path)
+    prot = got[model] if isinstance(got, list) else got
+    ca_i = rc.atom_order["CA"]
+    ca = prot.atom_positions[:, ca_i].astype(np.float64).copy()
+    ca[prot.atom_mask[:, ca_i] < 0.5] = np.nan
+    return ca, prot.sequence
 
 
 def apo_analyze(samples_dir: str | Path, pairs: list[dict],
@@ -124,11 +126,20 @@ def apo_analyze(samples_dir: str | Path, pairs: list[dict],
     (reference analyze + main, apo_analysis.py:211-380).
 
     pairs: list of {"name": <sample/target stem>, "path1": apo pdb,
-    "path2": holo pdb}.  samples_dir holds per-target multi-MODEL PDBs named
-    ``<name>.pdb`` (as written by the sampling CLIs).
-    Computes TM-ens, TM-diversity vs TM-pair, and RMSD-vs-RMSF correlations.
+    "path2": holo pdb, "seqres": reference sequence (optional — falls back
+    to path1's parsed sequence)}.  samples_dir holds per-target multi-MODEL
+    PDBs named ``<name>.pdb`` (as written by the sampling CLIs).
+
+    Every parsed chain is globally aligned to the reference sequence and its
+    CAs are scattered into a NaN-masked reference-length frame (reference
+    get_structures, apo_analysis.py:182-208) — internal gaps and numbering
+    offsets cannot silently shift residues off-register; per-target gap
+    counts are reported.  Computes TM-ens, TM-diversity vs TM-pair, and
+    RMSD-vs-RMSF correlations.
     """
     from scipy.stats import kendalltau, pearsonr, spearmanr
+
+    from .align import map_to_reference, nan_pair_deviation
 
     samples_dir = Path(samples_dir)
     rows = []
@@ -139,33 +150,68 @@ def apo_analyze(samples_dir: str | Path, pairs: list[dict],
         if not sample_path.exists():
             print(f"[apo] missing samples for {name}, skip")
             continue
-        ca1 = load_ca_ensemble(pair["path1"])[0]
-        ca2 = load_ca_ensemble(pair["path2"])[0]
-        ens = load_ca_ensemble(sample_path)
-        L = min(len(ca1), len(ca2), ens.shape[1])
-        ca1, ca2, ens = ca1[:L], ca2[:L], ens[:, :L]
+        ca1_raw, seq1 = _load_chain_with_seq(pair["path1"])
+        ca2_raw, seq2 = _load_chain_with_seq(pair["path2"])
+        seqres = pair.get("seqres") or seq1
+        struct1 = map_to_reference(seqres, seq1, ca1_raw)
+        struct2 = map_to_reference(seqres, seq2, ca2_raw)
+        gaps1 = int(np.isnan(struct1[:, 0]).sum())
+        gaps2 = int(np.isnan(struct2[:, 0]).sum())
+        if gaps1 or gaps2:
+            print(f"[apo] {name}: {gaps1}/{gaps2} gap positions "
+                  f"(of {len(seqres)}) NaN-masked in pair structures")
 
-        rmsd_dict[name] = _pair_deviation(ca1, ca2)
+        rmsd_dict[name] = nan_pair_deviation(struct1, struct2)
+
+        # samples: map each model into the same reference frame
+        from esmdiff_tpu.core import protein as protein_io
+
+        got = protein_io.from_pdb_file(sample_path)
+        models = got if isinstance(got, list) else [got]
+        from esmdiff_tpu.core import residue_constants as rc
+
+        ca_i = rc.atom_order["CA"]
+        ens_list = []
+        for m in models:
+            ca = m.atom_positions[:, ca_i].astype(np.float64).copy()
+            ca[m.atom_mask[:, ca_i] < 0.5] = np.nan
+            ens_list.append(map_to_reference(seqres, m.sequence, ca))
+        ens = np.stack(ens_list)
+
         # per-residue fluctuation across sampled pairs
         devs = []
         for j in range(len(ens)):
             for k in range(j + 1, len(ens)):
-                devs.append(_pair_deviation(ens[j], ens[k]))
+                devs.append(nan_pair_deviation(ens[j], ens[k]))
         rmsf_dict[name] = (
-            np.sqrt(np.mean(np.square(devs), axis=0)) if devs
-            else np.zeros(L))
+            np.sqrt(np.nanmean(np.square(devs), axis=0)) if devs
+            else np.zeros(len(seqres)))
 
-        tm1, _ = tm_score_many(ens, ca1)
-        tm2, _ = tm_score_many(ens, ca2)
-        tm_fwd, _ = tm_score(ca1, ca2)
-        tm_bwd, _ = tm_score(ca2, ca1)
+        # TM scores run on the finite intersection of each pair
+        def _tm_many(ens_arr, target):
+            ok_t = np.isfinite(target).all(-1)
+            tms, rmsds = [], []
+            for e in ens_arr:
+                m = ok_t & np.isfinite(e).all(-1)
+                t, r = tm_score(e[m], target[m])
+                tms.append(t)
+                rmsds.append(r)
+            return np.asarray(tms), np.asarray(rmsds)
+
+        tm1, _ = _tm_many(ens, struct1)
+        tm2, _ = _tm_many(ens, struct2)
+        m12 = np.isfinite(struct1).all(-1) & np.isfinite(struct2).all(-1)
+        tm_fwd, _ = tm_score(struct1[m12], struct2[m12])
+        tm_bwd, _ = tm_score(struct2[m12], struct1[m12])
+        ok_all = np.isfinite(ens).all(axis=(0, 2))
         rows.append({
             "name": name,
             "tm1max": float(tm1.max()),
             "tm2max": float(tm2.max()),
             "tm_ens": float((tm1.max() + tm2.max()) / 2),
             "tm_pair": float((tm_fwd + tm_bwd) / 2),
-            "tm_div": tm_diversity(ens),
+            "tm_div": tm_diversity(np.ascontiguousarray(ens[:, ok_all])),
+            "gaps": [gaps1, gaps2],
         })
 
     if not rows:
@@ -224,8 +270,8 @@ def apo_analyze(samples_dir: str | Path, pairs: list[dict],
 
 def load_pairs_csv(csv_path: str | Path, structures_dir: str | Path,
                    holo_col: str = "holo") -> list[dict]:
-    """Reference splits CSV ('name', 'holo'|'other' columns; structures under
-    <dir>/<name[:2]>/<name>, apo_analysis.py:182-208)."""
+    """Reference splits CSV ('name', 'holo'|'other', 'seqres' columns;
+    structures under <dir>/<name[:2]>/<name>, apo_analysis.py:222-234)."""
     import pandas as pd
 
     df = pd.read_csv(csv_path, index_col="name").sort_index()
@@ -237,6 +283,7 @@ def load_pairs_csv(csv_path: str | Path, structures_dir: str | Path,
             "name": Path(name).stem,
             "path1": structures_dir / name[:2] / name,
             "path2": structures_dir / row[col][:2] / row[col],
+            "seqres": row.get("seqres"),
         })
     return pairs
 

@@ -71,6 +71,94 @@ def test_apo_analyze(ensembles, tmp_path):
     assert (tmp_path / "apo_metrics.json").exists()
 
 
+def test_nw_align_basics():
+    from esmdiff_tpu.eval.align import nw_align
+
+    a, b = nw_align("ACDEFG", "ACDEFG")
+    assert a == b == "ACDEFG"
+    a, b = nw_align("ACDEFG", "ACEFG")  # internal deletion
+    assert a.replace("-", "") == "ACDEFG"
+    assert b.replace("-", "") == "ACEFG"
+    matches = sum(x == y for x, y in zip(a, b) if x != "-" and y != "-")
+    assert matches == 5
+    # empty edge cases
+    assert nw_align("", "AC") == ("--", "AC")
+    assert nw_align("AC", "") == ("AC", "--")
+
+
+def test_map_to_reference_gapped():
+    """Deliberately gapped chain stays on-register (the reference's
+    seqres alignment semantics, apo_analysis.py:182-199); min-length
+    truncation would shift everything after the gap."""
+    from esmdiff_tpu.eval.align import map_to_reference, nan_pair_deviation
+
+    rng = np.random.RandomState(0)
+    ref_seq = "ACDEFGHIKLMNPQRSTVWY" * 3  # 60 residues
+    coords = rng.randn(60, 3) * 10
+    # chain with residues 10..14 unresolved (internal gap)
+    keep = np.ones(60, bool)
+    keep[10:15] = False
+    obs_seq = "".join(c for c, k in zip(ref_seq, keep) if k)
+    obs = coords[keep]
+    mapped = map_to_reference(ref_seq, obs_seq, obs)
+    assert np.isnan(mapped[10:15]).all()
+    m = np.isfinite(mapped[:, 0])
+    assert m.sum() == 55
+    np.testing.assert_allclose(mapped[m], coords[keep], atol=1e-12)
+    # deviation vs the full reference is ~0 everywhere observed
+    dev = nan_pair_deviation(mapped, coords)
+    assert np.nanmax(dev) < 1e-6
+    assert np.isnan(dev[10:15]).all()
+
+
+def test_apo_analyze_gapped_fixture(tmp_path):
+    """apo pair where one chain has an internal unresolved stretch AND a
+    numbering offset: per-residue RMSD must stay near zero off the gap
+    (truncation alignment would blow it up)."""
+    from esmdiff_tpu.core import residue_constants as rc
+
+    prot = protein.from_pdb_file(BPTI)
+    prot = prot[0] if isinstance(prot, list) else prot
+    seqres = prot.sequence
+    L = len(seqres)
+
+    # chain2 = same structure, residues 20..24 removed, renumbered from 101
+    keep = np.ones(L, bool)
+    keep[20:25] = False
+    import dataclasses
+
+    gapped = dataclasses.replace(
+        prot,
+        atom_positions=prot.atom_positions[keep],
+        atom_mask=prot.atom_mask[keep],
+        aatype=prot.aatype[keep],
+        residue_index=np.arange(101, 101 + keep.sum(), dtype=np.int32),
+        b_factors=prot.b_factors[keep],
+    )
+    p1 = tmp_path / "full.pdb"
+    p2 = tmp_path / "gapped.pdb"
+    protein.to_pdb_file(prot, p1)
+    protein.to_pdb_file(gapped, p2)
+
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    rng = np.random.RandomState(0)
+    prots = [protein.from_backbone(
+        prot.backbone_coords() + rng.randn(L, 3, 3) * 0.3,
+        sequence=seqres) for _ in range(4)]
+    protein.ensemble_to_pdb_file(prots, samples / "t1.pdb")
+
+    res = analysis.apo_analyze(
+        samples, [{"name": "t1", "path1": p1, "path2": p2,
+                   "seqres": seqres}])
+    row = res["per_target"][0]
+    assert row["gaps"][1] - row["gaps"][0] == 5  # the masked stretch
+    assert res["tm_ens_mean"] > 0.9
+    # identical structures (up to the gap): correct registration makes the
+    # pair TM ~1.0 — truncation alignment would drop it far below
+    assert row["tm_pair"] > 0.99
+
+
 def test_ped_evaluation(ensembles):
     root, prot = ensembles
     res = analysis.ped_evaluation(
