@@ -122,7 +122,10 @@ class RegressionHead(nn.Module):
         h = nn.Dense(
             hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="dense",
         )(x)
-        h = nn.gelu(h)
+        # exact (erf) GELU — torch nn.GELU()'s default, which the reference's
+        # RegressionHead uses; flax's default tanh approximation diverges at
+        # the 1e-4 level (caught by convert/verify.py)
+        h = nn.gelu(h, approximate=False)
         h = LayerNorm(use_bias=True, name="ln")(h)
         out = nn.Dense(
             self.output_dim, dtype=self.dtype, param_dtype=self.param_dtype,

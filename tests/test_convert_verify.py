@@ -1,0 +1,121 @@
+"""Conversion-verification harness: per-layer torch-oracle activation diffs
+(convert/verify.py) on reference-layout synthetic state_dicts."""
+
+import numpy as np
+import pytest
+
+from esmdiff_tpu.convert.verify import (
+    make_reference_trunk_state_dict,
+    verify_trunk,
+)
+from esmdiff_tpu.models.esm3 import esm3_tiny
+
+CFG = esm3_tiny()
+
+
+def _worst(rows):
+    return max(r["rel_diff"] for r in rows)
+
+
+def test_fixture_roundtrip_is_clean():
+    sd = make_reference_trunk_state_dict(CFG, seed=0)
+    rows = verify_trunk(sd, CFG)
+    assert len(rows) >= CFG.n_layers + 2
+    assert _worst(rows) < 1e-5
+
+
+def test_key_drift_is_caught_and_patchable(capsys):
+    """A renamed torch key (naming drift in a real checkpoint) must surface
+    as a missing key, and KEY_OVERRIDES must patch it without code changes."""
+    sd = make_reference_trunk_state_dict(CFG, seed=0)
+    drifted = dict(sd)
+    drifted["transformer.blocks.1.attn.qkv_proj.weight"] = drifted.pop(
+        "transformer.blocks.1.attn.layernorm_qkv.1.weight")
+    verify_trunk(drifted, CFG)
+    out = capsys.readouterr().out
+    assert "MISSING" in out and "MISMATCH" in out
+
+    rows = verify_trunk(drifted, CFG, key_overrides={
+        "transformer.blocks.1.attn.layernorm_qkv.1.weight":
+            "transformer.blocks.1.attn.qkv_proj.weight"})
+    assert _worst(rows) < 1e-5
+
+
+def test_value_transforms_unpermutes_geom_packing():
+    """ROUND1_NOTES #1: a real checkpoint may pack the geometric-attention
+    projection channels in a different per-head order.  Simulate a
+    [kr|qr|qd|kd|val] checkpoint and un-permute it via value_transforms."""
+    sd = make_reference_trunk_state_dict(CFG, seed=0)
+    key = "transformer.blocks.0.geom_attn.proj.weight"
+    H = CFG.v_heads
+    w = sd[key]  # (H*15, d) rows packed per head [qr kr qd kd val]
+    rows_per_head = w.reshape(H, 15, -1)
+    swapped = rows_per_head[:, [3, 4, 5, 0, 1, 2, 6, 7, 8, 9, 10, 11,
+                                12, 13, 14]]  # kr first
+    sd_swapped = dict(sd)
+    sd_swapped[key] = swapped.reshape(H * 15, -1)
+
+    def unswap(arr):
+        r = arr.reshape(H, 15, -1)[:, [3, 4, 5, 0, 1, 2, 6, 7, 8, 9, 10,
+                                       11, 12, 13, 14]]
+        return r.reshape(H * 15, -1)
+
+    # converting the permuted checkpoint WITH the inverse hook must produce
+    # byte-identical params to converting the canonical one (NB: the oracle
+    # diff alone cannot see a shared packing assumption — both sides read the
+    # same tensors — so this is a param-level equality check)
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.convert.torch_to_jax import convert_params, trunk_rules
+    from esmdiff_tpu.models.esm3 import ESM3
+
+    cfg32 = type(CFG)(**{**CFG.__dict__, "dtype": "float32"})
+    net = ESM3(cfg32)
+    template = jax.jit(lambda k: net.init(
+        k, sequence_tokens=jnp.zeros((1, 8), jnp.int32),
+        structure_coords=jnp.zeros((1, 8, 3, 3), jnp.float32)))(
+        jax.random.PRNGKey(0))["params"]
+    rules = trunk_rules(CFG.n_layers, CFG.n_layers_geom, CFG.head_type)
+    kw = dict(n_scan_layers=CFG.n_layers - CFG.n_layers_geom,
+              scan_layer_offset=CFG.n_layers_geom, strict=False)
+    ref_params, _ = convert_params(template, sd, rules, **kw)
+    fixed_params, _ = convert_params(template, sd_swapped, rules,
+                                     value_transforms={key: unswap}, **kw)
+    bad_params, _ = convert_params(template, sd_swapped, rules, **kw)
+    ref_proj = ref_params["transformer"]["block0"]["geom_attn"]["proj"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(fixed_params["transformer"]["block0"]["geom_attn"]
+                   ["proj"]["kernel"]), np.asarray(ref_proj))
+    assert not np.array_equal(
+        np.asarray(bad_params["transformer"]["block0"]["geom_attn"]
+                   ["proj"]["kernel"]), np.asarray(ref_proj))
+
+    # and the activation harness stays clean with the hook engaged
+    rows = verify_trunk(sd_swapped, CFG, value_transforms={key: unswap})
+    assert _worst(rows) < 1e-5
+
+
+def test_converter_layout_bug_explodes_diff(monkeypatch):
+    """A converter rule with a wrong layout transform (missing transpose on
+    the square out_proj) must be loudly visible in the activation diff of
+    exactly the affected layer — this is the failure mode the harness exists
+    for (the torch oracle applies the CORRECT layout independently)."""
+    from esmdiff_tpu.convert import torch_to_jax as t2j
+
+    real_rules = t2j.trunk_rules
+
+    def broken_rules(n_layers, n_layers_geom=1, head_type="esm3"):
+        rules = real_rules(n_layers, n_layers_geom, head_type)
+        # drop the transpose on every scanned block's attn out kernel
+        k = ("transformer", "blocks", "block", "attn", "out", "kernel")
+        tkey, _tf, stack = rules[k]
+        rules[k] = (tkey, t2j._id, stack)
+        return rules
+
+    monkeypatch.setattr(t2j, "trunk_rules", broken_rules)
+    sd = make_reference_trunk_state_dict(CFG, seed=0)
+    rows = verify_trunk(sd, CFG)
+    by_name = {r["layer"]: r["rel_diff"] for r in rows}
+    assert by_name["block1"] > 1e-3, "layout bug must explode the diff"
+    assert by_name["block0(geom)"] < 1e-5, "unaffected layer stays clean"
