@@ -1,7 +1,11 @@
-.PHONY: test bench tmscore smoke clean
+.PHONY: test test-fast bench tmscore smoke clean
 
 test:
 	python -m pytest tests/ -q
+
+# fast subset (<~3 min): skips compile-heavy slow-marked modules
+test-fast:
+	python -m pytest tests/ -q -m 'not slow'
 
 tmscore:
 	$(MAKE) -C native/tmscore

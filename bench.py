@@ -1,44 +1,57 @@
 """Benchmark: conformations/sec/chip for 25-step ESMDiff sampling (BPTI).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": null}
 
 Workload = the reference's canonical config (README.md:64-67): BPTI (58
-residues), 25 denoising steps, full-size trunk (d_model 1536, 48 layers,
-bf16).  The whole trajectory runs as a single jitted lax.scan on device.
-Weights are randomly initialized (identical FLOPs/memory traffic to converted
-weights).  NB: all-zero weights must NOT be used — this TPU runtime
-short-circuits them and reports fantasy timings.
+residues), 25 denoising steps, 100 requested samples, full-size trunk
+(d_model 1536, 48 layers, bf16).  The whole trajectory runs as a single
+jitted lax.scan on device per batch bucket; the batch plan is the production
+plan_batches ladder, and the headline value is EFFECTIVE conf/s for the
+REQUESTED sample count (surplus bucket samples are honestly amortized —
+VERDICT.md weak #2/#5).
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-1.0 = this framework's own round-1 reference point until a measured PyTorch
-A100 number exists.
+vs_baseline is null: the reference publishes no throughput numbers
+(BASELINE.md) and no PyTorch/GPU baseline can be measured in this
+environment.  MFU against the v5e bf16 peak is reported instead.
+
+--matrix: length-matrix mode (L = 64..1024, apo/codnas/ped-shaped) — one
+JSON line per row; the Pallas flash-attention kernel auto-engages at L>=256.
+
+Weights are randomly initialized (identical FLOPs/memory traffic to
+converted weights).  NB: all-zero weights must NOT be used — this TPU
+runtime short-circuits them and reports fantasy timings (PERF.md gotchas).
 """
 
+import argparse
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+V5E_BF16_PEAK = 197e12  # FLOP/s
 
 
-def main():
-    from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
-    _enable_cache()
-    from esmdiff_tpu.core import constants as C
-    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+def _trunk_matmul_params(cfg) -> int:
+    d, h = cfg.d_model, cfg.ffn_hidden
+    per_layer = 4 * d * d + 3 * d * h           # qkv+out, ffn up(2h)+down
+    heads = d * d + d * 4101                     # structure RegressionHead
+    return cfg.n_layers * per_layer + heads
+
+
+def _sample_flops(cfg, B: int, L: int, steps: int) -> float:
+    """Matmul FLOPs of a full sampling run (2*N per token + attention)."""
+    token_part = 2.0 * _trunk_matmul_params(cfg) * L
+    attn_part = cfg.n_layers * 4.0 * L * L * cfg.d_model
+    return steps * B * (token_part + attn_part)
+
+
+def build_sampler():
+    import jax
+    import jax.numpy as jnp
+
     from esmdiff_tpu.diffusion.mdlm import MDLM, MDLMConfig
     from esmdiff_tpu.diffusion.noise import LogLinearNoise
     from esmdiff_tpu.models.esm3 import ESM3, ESM3Config
     from esmdiff_tpu.nn.layers import TimestepEmbedder
-    from esmdiff_tpu.api.protein_api import ESMProtein
-
-    import numpy as np
-
-    prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")
-    seq_tokens = SequenceTokenizer().encode(prot.sequence)
-    num_steps = 25
-    num_samples = 128
 
     cfg = ESM3Config(head_type="structure", param_dtype="bfloat16",
                      remat=False)
@@ -46,49 +59,150 @@ def main():
     se = TimestepEmbedder(hidden_size=cfg.d_model, param_dtype=jnp.bfloat16)
     mdlm = MDLM(net, se, noise=LogLinearNoise(), cfg=MDLMConfig())
     params = mdlm.init(jax.random.PRNGKey(42), batch_size=1, length=16)
+    return cfg, mdlm, params
 
-    B = num_samples
-    # pad to the MXU-friendly 64 bucket (matches api/generation bucketing)
-    L = ((len(seq_tokens) + 63) // 64) * 64
-    row = np.full((L,), C.SEQUENCE_PAD_TOKEN, np.int32)
-    row[:len(seq_tokens)] = seq_tokens
-    seq = jnp.asarray(row)[None].repeat(B, axis=0)
+
+def run_bucket(mdlm, params, seq_row, B, L, num_steps, n_timed=3):
+    """Steady-state wall seconds for one (B, L) sampling bucket."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    seq = jnp.asarray(np.tile(seq_row[None], (B, 1)))
+    lengths = jnp.sum(seq != _pad_token(), axis=-1, dtype=jnp.int32)
 
     @jax.jit
     def sample(params, key):
         return mdlm.ddpm_sample(params, key, seq, num_steps=num_steps,
-                                eps=1e-5)
+                                eps=1e-5, lengths=lengths)
 
     t0 = time.time()
-    out = sample(params, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    first_call = time.time() - t0
-
+    jax.block_until_ready(sample(params, jax.random.PRNGKey(0)))
+    first = time.time() - t0
     times = []
-    for i in range(5):
+    for i in range(n_timed):
         t0 = time.time()
-        out = sample(params, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        jax.block_until_ready(sample(params, jax.random.PRNGKey(i + 1)))
         times.append(time.time() - t0)
-    best = min(times)
-    p50 = sorted(times)[len(times) // 2]
-    conf_per_sec = num_samples / best
+    return min(times), sorted(times)[len(times) // 2], first
+
+
+def _pad_token():
+    from esmdiff_tpu.core import constants as C
+
+    return C.SEQUENCE_PAD_TOKEN
+
+
+def _attn_backend_at(L: int) -> str:
+    from esmdiff_tpu.nn.attention import _FLASH_MIN_LEN
+
+    return "flash" if L >= _FLASH_MIN_LEN else "xla"
+
+
+def _seq_row(seq_tokens, L):
+    import numpy as np
+
+    row = np.full((L,), _pad_token(), np.int32)
+    row[:len(seq_tokens)] = seq_tokens
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--matrix", action="store_true",
+                   help="Length-matrix mode: L=64..1024 rows (one JSON line "
+                        "each) instead of the single headline line.")
+    p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--samples", type=int, default=100)
+    args = p.parse_args()
+
+    from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
+    _enable_cache()
+
+    import jax
+
+    from esmdiff_tpu.api.generation import plan_batches
+    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+    from esmdiff_tpu.api.protein_api import ESMProtein
+
+    cfg, mdlm, params = build_sampler()
+    device = str(jax.devices()[0])
+
+    if args.matrix:
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        for L in (64, 128, 256, 512, 1024):
+            # synthetic chain filling the padded bucket (L-2 residues+specials)
+            toks = np.concatenate([[0], rng.randint(4, 24, L - 2), [2]])
+            row = _seq_row(toks.astype(np.int32), L)
+            sizes = plan_batches(L, args.samples, max_batch=128)
+            B = sizes[0]
+            best, p50, first = run_bucket(mdlm, params, row, B, L, args.steps)
+            flops = _sample_flops(cfg, B, L, args.steps)
+            print(json.dumps({
+                "metric": f"conf/sec/chip (L={L}, B={B}, "
+                          f"{args.steps}-step sampling)",
+                "value": round(B / best, 3),
+                "unit": "conformations/sec",
+                "vs_baseline": None,
+                "detail": {
+                    "L": L, "B": B, "num_steps": args.steps,
+                    "ms_per_step_batch": round(best / args.steps * 1e3, 2),
+                    "p50_ms_per_step": round(p50 / args.steps * 1e3, 2),
+                    "tflops_per_sec": round(flops / best / 1e12, 1),
+                    "mfu_vs_v5e_bf16": round(
+                        flops / best / V5E_BF16_PEAK, 3),
+                    "attn_backend": _attn_backend_at(L),
+                    "first_call_s": round(first, 1),
+                    "device": device,
+                },
+            }), flush=True)
+        return
+
+    prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")
+    seq_tokens = SequenceTokenizer().encode(prot.sequence)
+    Lw = len(seq_tokens)
+    L = ((Lw + 63) // 64) * 64
+    row = _seq_row(seq_tokens, L)
+
+    sizes = plan_batches(Lw, args.samples, max_batch=128)
+    bucket_times = {}
+    total = 0.0
+    first_total = 0.0
+    for B in sizes:
+        if B not in bucket_times:
+            bucket_times[B] = run_bucket(mdlm, params, row, B, L, args.steps)
+            first_total += bucket_times[B][2]
+        total += bucket_times[B][0]
+
+    conf_per_sec = args.samples / total  # effective: REQUESTED samples
+    flops = sum(_sample_flops(cfg, B, L, args.steps) for B in sizes)
 
     result = {
-        "metric": "conformations/sec/chip (BPTI, 25-step ESMDiff sampling)",
+        "metric": "conformations/sec/chip (BPTI, 25-step ESMDiff sampling, "
+                  "100 requested samples)",
         "value": round(conf_per_sec, 3),
         "unit": "conformations/sec",
-        "vs_baseline": round(conf_per_sec / 1.0, 3),
+        # no measured PyTorch baseline exists (BASELINE.md: reference
+        # publishes none; no GPU/esm weights in this environment)
+        "vs_baseline": None,
         "detail": {
-            "num_samples": num_samples,
-            "num_steps": num_steps,
+            "requested_samples": args.samples,
+            "generated_samples": sum(sizes),
+            "batch_plan": sizes,
+            "num_steps": args.steps,
             "seq_len_padded": L,
-            "seq_len_with_specials": len(seq_tokens),
-            "best_wall_s": round(best, 3),
-            "per_step_ms_batch": round(best / num_steps * 1000.0, 2),
-            "p50_per_step_ms": round(p50 / num_steps * 1000.0, 2),
-            "first_call_s": round(first_call, 2),
-            "device": str(jax.devices()[0]),
+            "seq_len_with_specials": Lw,
+            "total_wall_s": round(total, 3),
+            "per_bucket_best_s": {str(b): round(t[0], 3)
+                                  for b, t in bucket_times.items()},
+            "ms_per_step_largest_bucket": round(
+                bucket_times[sizes[0]][0] / args.steps * 1e3, 2),
+            "tflops_per_sec": round(flops / total / 1e12, 1),
+            "mfu_vs_v5e_bf16": round(flops / total / V5E_BF16_PEAK, 3),
+            "first_call_s": round(first_total, 1),
+            "device": device,
         },
     }
     print(json.dumps(result))

@@ -54,29 +54,39 @@ def plan_batches(length_with_specials: int, num_samples: int,
     """Split num_samples into batches with L^2 * B <= budget
     (reference sample_esmdiff.py:104-112,181-193).
 
-    Batch sizes are rounded up to ``batch_bucket`` multiples (and to the
-    mesh ``granularity``) so XLA compiles one program per batch bucket
-    instead of one per requested sample count; the final batch may exceed
-    the remaining samples — callers trim the outputs.
+    Batch sizes are drawn from the power-of-two bucket ladder (>= 8, mesh
+    ``granularity``-aligned, capped by the memory budget) so XLA compiles one
+    program per bucket — and those buckets are SHARED across targets/requests,
+    so the compile cost amortizes corpus-wide.  The ladder is walked greedily
+    downward (100 -> 64+32+8 = 104, not a single 128), bounding
+    over-generation by the smallest bucket instead of up to bucket-1 wasted
+    full-trunk samples; callers trim the surplus.
     """
     per = max(1, budget // (length_with_specials * length_with_specials))
     if max_batch is not None:
         per = min(per, max_batch)
     g = max(1, granularity)
     per = max(g, (per // g) * g)
+    min_b = max(8, g)
+    min_b = ((min_b + g - 1) // g) * g
+    if per >= min_b:
+        # keep the memory cap itself on the pow2 ladder so budget-capped
+        # batches reuse a ladder shape instead of minting a new one
+        per = max(min_b, (1 << (per.bit_length() - 1)) // g * g)
 
-    def bucketed(b: int) -> int:
-        # next power of two (>= 8), then mesh granularity, capped by budget
-        v = max(8, 1 << (b - 1).bit_length())
-        v = ((v + g - 1) // g) * g
-        return min(v, per) if per >= g else v
+    def cap(v: int) -> int:
+        return min(v, max(per, g))  # memory budget always wins
 
     sizes = []
     left = num_samples
     while left > 0:
-        b = bucketed(min(per, left))
-        sizes.append(b)
-        left -= b
+        if left >= min_b:
+            b = 1 << (left.bit_length() - 1)  # largest pow2 <= left
+            b = max(min_b, (b // g) * g)
+        else:
+            b = min_b  # final round-up: waste < min_b
+        sizes.append(cap(b))  # memory budget applied last, always wins
+        left -= sizes[-1]
     return sizes
 
 

@@ -209,8 +209,11 @@ def entropy_bounded_unmask_sample(
 
         lo, hi = jax.lax.fori_loop(0, 30, bisect, (lo, hi))
         commit = still & (entropy <= lo)
-        # always commit at least the lowest-entropy position
-        is_min = masked_ent <= jnp.min(masked_ent, axis=-1, keepdims=True)
+        # always commit at least the lowest-entropy position — exactly one
+        # (argmin one-hot): an `<= min` mask commits every tied position,
+        # making the per-step commit count nondeterministic under ties
+        is_min = jax.nn.one_hot(jnp.argmin(masked_ent, axis=-1), L,
+                                dtype=jnp.bool_)
         commit = commit | (still & is_min)
         x = jnp.where(commit, sampled, x)
         return x, key, steps + 1

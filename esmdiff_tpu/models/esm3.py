@@ -62,6 +62,7 @@ class ESM3Config:
     scan_unroll: int = 1   # >1 lets XLA pipeline across layer boundaries
     remat: bool = True
     attn_backend: str = "auto"
+    qkv_backend: str = "xla"  # "fused" = Pallas LN+QKV+QK-LN (ops/fused_qkv)
 
     @property
     def jnp_dtype(self):
@@ -108,7 +109,7 @@ class TransformerBlock(nn.Module):
         r = MultiHeadAttention(
             d_model=cfg.d_model, n_heads=cfg.n_heads, dtype=cfg.jnp_dtype,
             param_dtype=cfg.jnp_param_dtype, attn_backend=cfg.attn_backend,
-            name="attn",
+            qkv_backend=cfg.qkv_backend, name="attn",
         )(x, rot_cos, rot_sin, mask=mask, lengths=lengths)
         x = x + r / scale
         # When every frame is masked (no input coordinates — the MDLM

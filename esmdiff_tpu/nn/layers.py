@@ -42,28 +42,69 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class _ScaleParam(nn.Module):
+    """Param container matching LayerNorm's {scale} tree — lets the fused
+    QKV path own the identical checkpoint entries without running the op."""
+
+    dim: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.dim,),
+                          self.param_dtype)
+
+
+class _KernelParam(nn.Module):
+    """Param container matching nn.Dense(use_bias=False)'s {kernel} tree."""
+
+    shape: tuple
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, self.param_dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """ESM3 attention: fused LN+QKV projection, per-track QK layernorm over the
-    full model dim, rotary applied per head, no biases."""
+    full model dim, rotary applied per head, no biases.
+
+    qkv_backend: "xla" = LN/Dense/LN as separate XLA ops; "fused" = one
+    Pallas VMEM pass (ops/fused_qkv.py) — identical params and numerics.
+    """
 
     d_model: int
     n_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    qkv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, rot_cos, rot_sin, mask=None, lengths=None):
         B, L, D = x.shape
         dh = self.d_model // self.n_heads
-        h = LayerNorm(name="ln")(x)
-        qkv = nn.Dense(
-            3 * self.d_model, use_bias=False, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="qkv",
-        )(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = LayerNorm(name="q_ln")(q)
-        k = LayerNorm(name="k_ln")(k)
+        if self.qkv_backend == "fused":
+            from esmdiff_tpu.ops.fused_qkv import fused_ln_qkv
+
+            ln_s = _ScaleParam(D, self.param_dtype, name="ln")()
+            w = _KernelParam((D, 3 * self.d_model), self.param_dtype,
+                             name="qkv")()
+            q_s = _ScaleParam(self.d_model, self.param_dtype, name="q_ln")()
+            k_s = _ScaleParam(self.d_model, self.param_dtype, name="k_ln")()
+            qkv = fused_ln_qkv(x, ln_s, w.astype(self.dtype), q_s, k_s)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            h = LayerNorm(name="ln")(x)
+            qkv = nn.Dense(
+                3 * self.d_model, use_bias=False, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="qkv",
+            )(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = LayerNorm(name="q_ln")(q)
+            k = LayerNorm(name="k_ln")(k)
         q = q.reshape(B, L, self.n_heads, dh)
         k = k.reshape(B, L, self.n_heads, dh)
         v = v.reshape(B, L, self.n_heads, dh)

@@ -5,6 +5,8 @@ import pytest
 
 from esmdiff_tpu.core import constants as C
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 
 @pytest.fixture(scope="module")
 def trained_run(tmp_path_factory):

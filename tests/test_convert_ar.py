@@ -15,6 +15,8 @@ from esmdiff_tpu.convert.torch_to_jax import export_torch_state_dict
 from esmdiff_tpu.models.clm import CLM, CLMConfig
 from esmdiff_tpu.models.jlm import JLM, JLMConfig
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 B, L = 2, 10
 
 

@@ -10,6 +10,8 @@ from esmdiff_tpu.convert.verify import (
 )
 from esmdiff_tpu.models.esm3 import esm3_tiny
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 CFG = esm3_tiny()
 
 

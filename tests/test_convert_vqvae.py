@@ -12,6 +12,8 @@ from esmdiff_tpu.convert.torch_to_jax import (
     vqvae_decoder_rules,
     vqvae_encoder_rules,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
 from esmdiff_tpu.models.vqvae import (
     DecoderConfig,
     EncoderConfig,

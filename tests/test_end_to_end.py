@@ -10,6 +10,8 @@ from esmdiff_tpu.core import protein as protein_io
 from esmdiff_tpu.models.esm3 import esm3_tiny
 from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
 
 
@@ -39,11 +41,16 @@ def gibbs_runtime():
 
 
 def test_plan_batches():
-    # batch sizes are power-of-two buckets; callers trim the surplus
-    assert sum(plan_batches(60, 100)) >= 100
+    # greedy pow2 ladder: over-generation bounded by the smallest bucket
+    # (100 -> 64+32+8, not one 128-batch wasting 28 full-trunk samples)
+    assert plan_batches(60, 100) == [64, 32, 8]
     assert all((s & (s - 1)) == 0 for s in plan_batches(60, 100))
     assert plan_batches(60, 5) == [8]
-    assert plan_batches(60, 100, max_batch=128) == [128]
+    assert plan_batches(60, 128) == [128]
+    for n in (1, 7, 10, 33, 100, 127, 129, 500):
+        sizes = plan_batches(60, n)
+        assert sum(sizes) >= n
+        assert sum(sizes) - n < 8, f"waste {sum(sizes)-n} for n={n}"
     # budget binds for long proteins
     sizes = plan_batches(1000, 100)
     assert all(s <= 4 for s in sizes) and sum(sizes) >= 100

@@ -7,6 +7,8 @@ from esmdiff_tpu.core import constants as C
 from esmdiff_tpu.models.esm3 import ESM3, esm3_tiny
 from esmdiff_tpu.nn.geometric import build_affine3d_from_coordinates
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

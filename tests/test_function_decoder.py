@@ -1,11 +1,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from esmdiff_tpu.models.function_decoder import (
     FunctionDecoderConfig,
     FunctionTokenDecoder,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
 
 
 def test_function_decoder_shapes():

@@ -14,6 +14,9 @@ import pathlib
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 

@@ -10,6 +10,8 @@ from esmdiff_tpu.models.esm3 import esm3_tiny
 from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 from esmdiff_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
 
 

@@ -14,6 +14,8 @@ from esmdiff_tpu.nn.layers import TimestepEmbedder
 from esmdiff_tpu.parallel import mesh as pmesh
 from esmdiff_tpu.parallel import tp
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 
 def _tiny_mdlm():
     cfg = esm3_tiny(dtype="float32", head_type="structure",

@@ -66,6 +66,7 @@ def test_bucketed_batches(corpus):
         assert (b["sequence_tokens"][pad] == C.SEQUENCE_PAD_TOKEN).all()
 
 
+@pytest.mark.slow
 def test_train_loop_smoke_and_resume(corpus, tmp_path):
     from esmdiff_tpu.train.loop import train
 
@@ -100,6 +101,7 @@ def test_train_loop_smoke_and_resume(corpus, tmp_path):
     assert result2["steps"] == best_entry["step"] + 1
 
 
+@pytest.mark.slow
 def test_overfit_mode_reduces_loss(corpus, tmp_path):
     from esmdiff_tpu.train.loop import train
 

@@ -9,6 +9,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
 
 

@@ -15,6 +15,8 @@ from esmdiff_tpu.models.vqvae import (
     nearest_code,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
+
 BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
 
 
