@@ -59,7 +59,10 @@ def get_argparser():
                    choices=["gibbs", "ddpm", "eb"],
                    help="gibbs = cosine-schedule iterative unmasking; "
                         "ddpm = fine-tuned masked-diffusion; eb = adaptive "
-                        "entropy-bounded unmasking (fewer trunk forwards).")
+                        "entropy-bounded unmasking — EXPERIMENTAL: did not "
+                        "beat fixed-step gibbs at equal trunk-forward "
+                        "budget on the tiny-model testbed (PERF.md table, "
+                        "scripts/eb_quality.py).")
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--num_samples", type=int, default=10)
     p.add_argument("--mask_ids", type=str, default=None,
