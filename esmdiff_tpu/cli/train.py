@@ -25,6 +25,15 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     save_config(cfg, f"{cfg.trainer.ckpt_dir}/config.yaml")
+    if cfg.trainer.print_config:
+        # composed-config tree at startup (reference rich_utils.print_config_tree)
+        import dataclasses
+
+        import yaml
+
+        print("── config ──────────────────────────────")
+        print(yaml.safe_dump(dataclasses.asdict(cfg), sort_keys=False), end="")
+        print("────────────────────────────────────────")
     result = train(cfg)
     print(json.dumps(result))
 

@@ -405,6 +405,187 @@ def _oracle_block_with_geom(sd, prefix, x, cfg, scale, rot, trans, mask):
                 @ t(f"{prefix}.ffn.3.weight").T) / scale
 
 
+# ---------------------------------------------------------------------------
+# VQ-VAE decoder verification (ROUND1_NOTES #2 risk surface)
+# ---------------------------------------------------------------------------
+
+def _decoder_tensor_specs(cfg) -> dict[str, tuple]:
+    """StructureTokenDecoder tensor names/shapes per the public esm-3.0.4
+    module tree (models/vqvae.py geometry)."""
+    from esmdiff_tpu.nn.layers import swiglu_hidden_dim
+
+    d = cfg.d_model
+    h = swiglu_hidden_dim(d)
+    specs: dict[str, tuple] = {
+        "embed.weight": (C.STRUCTURE_VOCAB_SIZE, d),
+        "decoder_stack.norm.weight": (d,),
+        "affine_output_projection.ffn1.weight": (d, d),
+        "affine_output_projection.ffn1.bias": (d,),
+        "affine_output_projection.norm.weight": (d,),
+        "affine_output_projection.norm.bias": (d,),
+        "affine_output_projection.proj.weight": (9, d),
+        "affine_output_projection.proj.bias": (9,),
+        "plddt_head.0.weight": (d, d), "plddt_head.0.bias": (d,),
+        "plddt_head.2.weight": (d,), "plddt_head.2.bias": (d,),
+        "plddt_head.3.weight": (cfg.plddt_bins, d),
+        "plddt_head.3.bias": (cfg.plddt_bins,),
+    }
+    for i in range(cfg.n_layers):
+        p = f"decoder_stack.blocks.{i}"
+        specs.update({
+            f"{p}.attn.layernorm_qkv.0.weight": (d,),
+            f"{p}.attn.layernorm_qkv.1.weight": (3 * d, d),
+            f"{p}.attn.q_ln.weight": (d,),
+            f"{p}.attn.k_ln.weight": (d,),
+            f"{p}.attn.out_proj.weight": (d, d),
+            f"{p}.ffn.0.weight": (d,),
+            f"{p}.ffn.1.weight": (2 * h, d),
+            f"{p}.ffn.3.weight": (d, h),
+        })
+    return specs
+
+
+def make_reference_decoder_state_dict(cfg, seed: int = 0,
+                                      scale: float = 0.05) -> dict:
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, shape in _decoder_tensor_specs(cfg).items():
+        if len(shape) == 1 and name.endswith(
+                (".0.weight", "norm.weight", "q_ln.weight", "k_ln.weight")):
+            arr = 1.0 + rng.randn(*shape) * 0.02
+        else:
+            arr = rng.randn(*shape) * scale
+        sd[name] = arr.astype(np.float32)
+    return sd
+
+
+def _oracle_dim6rot_head(sd: dict, prefix: str, x, trans_scale: float):
+    import torch
+
+    from esmdiff_tpu.core import residue_constants as rc
+
+    t = lambda k: torch.as_tensor(np.asarray(sd[k]), dtype=torch.float32)
+    h = x @ t(f"{prefix}.ffn1.weight").T + t(f"{prefix}.ffn1.bias")
+    h = torch.nn.functional.gelu(h)
+    h = _oracle_ln(h, t(f"{prefix}.norm.weight")) + t(f"{prefix}.norm.bias")
+    p = h @ t(f"{prefix}.proj.weight").T + t(f"{prefix}.proj.bias")
+    v1, v2, trans = p[..., 0:3], p[..., 3:6], p[..., 6:9]
+    e1 = v1 / v1.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+    u2 = v2 - e1 * (e1 * v2).sum(-1, keepdim=True)
+    e2 = u2 / u2.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+    e3 = torch.cross(e1, e2, dim=-1)
+    rot = torch.stack([e1, e2, e3], dim=-1)
+    trans = trans * trans_scale
+    ideal = torch.as_tensor(np.stack(
+        [rc.IDEALIZED_N, rc.IDEALIZED_CA, rc.IDEALIZED_C]),
+        dtype=torch.float32)
+    return torch.einsum("...ij,aj->...ai", rot, ideal) + trans[..., None, :]
+
+
+def verify_vqvae_decoder(state_dict: dict, cfg=None,
+                         key_overrides=None, value_transforms=None,
+                         probe_seed: int = 7) -> list[dict]:
+    """Per-layer activation diff of a converted StructureTokenDecoder."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from esmdiff_tpu.models.esm3 import TransformerBlock
+    from esmdiff_tpu.models.vqvae import (
+        Dim6RotStructureHead, DecoderConfig, StructureTokenDecoder)
+    from esmdiff_tpu.nn.rotary import rotary_tables
+    from .torch_to_jax import convert_vqvae_decoder
+
+    if cfg is None:
+        cfg = DecoderConfig()
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    dec = StructureTokenDecoder(cfg)
+    template = jax.jit(lambda k: dec.init(
+        k, jnp.zeros((1, 8), jnp.int32)))(jax.random.PRNGKey(0))["params"]
+
+    canon = dict(state_dict)
+    for canonical, actual in (key_overrides or {}).items():
+        if actual in canon:
+            canon[canonical] = canon[actual]
+    for key, vt in (value_transforms or {}).items():
+        if key in canon:
+            canon[key] = vt(canon[key])
+    specs = _decoder_tensor_specs(cfg)
+    missing_canonical = [n for n in specs if n not in canon]
+    for n in missing_canonical:
+        canon[n] = np.zeros(specs[n], np.float32)
+    state_dict = canon
+
+    params, report = convert_vqvae_decoder(template, state_dict,
+                                           n_layers=cfg.n_layers,
+                                           strict=False)
+    report["missing"] = sorted(
+        set(report["missing"]) | set(missing_canonical))
+    if report["missing"]:
+        print(f"[verify] MISSING torch keys ({len(report['missing'])}): "
+              + ", ".join(report["missing"][:8]))
+
+    rng = np.random.RandomState(probe_seed)
+    x_np = rng.randn(PROBE_B, PROBE_L, cfg.d_model).astype(np.float32)
+    stack_cfg = cfg.stack_config()
+    stack_cfg = type(stack_cfg)(**{**stack_cfg.__dict__, "dtype": "float32",
+                                   "param_dtype": "float32"})
+    scale = stack_cfg.residue_scaling_factor
+    rot_cos, rot_sin = rotary_tables(PROBE_L, cfg.d_model // cfg.n_heads)
+
+    rows = []
+
+    def record(name, jax_out, torch_out):
+        a = np.asarray(jax_out, np.float32)
+        b = torch_out.detach().numpy()
+        d = float(np.max(np.abs(a - b)))
+        rows.append({"layer": name, "max_abs_diff": d,
+                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+
+    blocks = params["decoder_stack"]["blocks"]["block"] \
+        if "blocks" in params["decoder_stack"] else None
+    for i in range(cfg.n_layers):
+        x = jnp.asarray(x_np)
+        xt = torch.as_tensor(x_np)
+        if blocks is not None:
+            blk_params = jax.tree.map(lambda a: a[i], blocks)
+        else:
+            blk_params = params["decoder_stack"][f"block{i}"]
+        block = TransformerBlock(stack_cfg, use_geom_attn=False)
+        jax_out = block.apply({"params": blk_params}, x, rot_cos, rot_sin,
+                              None)
+        t_out = oracle_block(state_dict, f"decoder_stack.blocks.{i}", xt,
+                             cfg.n_heads, scale)
+        record(f"dec_block{i}", jax_out, t_out)
+
+    head = Dim6RotStructureHead(cfg.d_model, trans_scale=cfg.trans_scale,
+                                dtype=jnp.float32)
+    bb, _ = head.apply({"params": params["affine_output_projection"]},
+                       jnp.asarray(x_np))
+    t_bb = _oracle_dim6rot_head(state_dict, "affine_output_projection",
+                                torch.as_tensor(x_np), cfg.trans_scale)
+    record("dim6rot_head", bb, t_bb)
+
+    t_pl = oracle_regression_head(state_dict, "plddt_head",
+                                  torch.as_tensor(x_np))
+    from esmdiff_tpu.nn.layers import RegressionHead
+
+    pl = RegressionHead(cfg.plddt_bins, dtype=jnp.float32).apply(
+        {"params": params["plddt_head"]}, jnp.asarray(x_np))
+    record("plddt_head", pl, t_pl)
+
+    print(f"{'layer':<18} {'max_abs_diff':>14} {'rel_diff':>12}")
+    worst = 0.0
+    for r in rows:
+        print(f"{r['layer']:<18} {r['max_abs_diff']:>14.3e} "
+              f"{r['rel_diff']:>12.3e}")
+        worst = max(worst, r["rel_diff"])
+    verdict = "OK" if worst < 1e-4 and not report["missing"] else "MISMATCH"
+    print(f"[verify] decoder worst rel diff {worst:.3e}, "
+          f"{len(report['missing'])} missing keys -> {verdict}")
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Per-layer torch-vs-jax activation diff of a converted "
@@ -418,7 +599,24 @@ def main(argv=None):
                    choices=["full", "tiny"])
     p.add_argument("--layers", type=str, default=None,
                    help="Layer slice, e.g. 0:4")
+    p.add_argument("--component", type=str, default="trunk",
+                   choices=["trunk", "vqvae_decoder"])
     args = p.parse_args(argv)
+
+    if args.component == "vqvae_decoder":
+        from esmdiff_tpu.models.vqvae import DecoderConfig
+
+        cfg = (DecoderConfig(d_model=64, n_heads=4, n_layers=3)
+               if args.scale == "tiny" else DecoderConfig())
+        if args.fixture or not args.ckpt:
+            sd = make_reference_decoder_state_dict(cfg)
+            print("[verify] using synthetic reference-layout fixture")
+        else:
+            from .torch_to_jax import load_torch_state_dict
+
+            sd = load_torch_state_dict(args.ckpt)
+        verify_vqvae_decoder(sd, cfg)
+        return
 
     from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
 

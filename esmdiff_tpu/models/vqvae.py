@@ -195,7 +195,7 @@ class Dim6RotStructureHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.d_model, dtype=self.dtype, name="ffn1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU() default (exact)
         h = LayerNorm(use_bias=True, name="ln")(h)
         p = nn.Dense(9, dtype=self.dtype, name="proj")(h).astype(jnp.float32)
         v1, v2, trans = p[..., 0:3], p[..., 3:6], p[..., 6:9]

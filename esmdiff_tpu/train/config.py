@@ -99,6 +99,7 @@ class TrainerConfig:
     # (reference configs/logger/, train.yaml:10)
     logger: str = "csv"
     run_name: str = "esmdiff"
+    print_config: bool = True     # config tree at startup (rich_utils analogue)
 
 
 @dataclasses.dataclass

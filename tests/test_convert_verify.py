@@ -121,3 +121,32 @@ def test_converter_layout_bug_explodes_diff(monkeypatch):
     by_name = {r["layer"]: r["rel_diff"] for r in rows}
     assert by_name["block1"] > 1e-3, "layout bug must explode the diff"
     assert by_name["block0(geom)"] < 1e-5, "unaffected layer stays clean"
+
+
+def test_vqvae_decoder_fixture_roundtrip():
+    from esmdiff_tpu.convert.verify import (
+        make_reference_decoder_state_dict, verify_vqvae_decoder)
+    from esmdiff_tpu.models.vqvae import DecoderConfig
+
+    cfg = DecoderConfig(d_model=64, n_heads=4, n_layers=3)
+    sd = make_reference_decoder_state_dict(cfg, seed=0)
+    rows = verify_vqvae_decoder(sd, cfg)
+    assert len(rows) == cfg.n_layers + 2
+    assert max(r["rel_diff"] for r in rows) < 1e-5
+
+
+def test_vqvae_decoder_drift_and_layout_bug():
+    from esmdiff_tpu.convert.verify import (
+        make_reference_decoder_state_dict, verify_vqvae_decoder)
+    from esmdiff_tpu.models.vqvae import DecoderConfig
+
+    cfg = DecoderConfig(d_model=64, n_heads=4, n_layers=3)
+    sd = make_reference_decoder_state_dict(cfg, seed=0)
+    # renamed key -> missing + patchable via key_overrides
+    bad = dict(sd)
+    bad["affine_output_projection.out.weight"] = bad.pop(
+        "affine_output_projection.proj.weight")
+    rows = verify_vqvae_decoder(bad, cfg, key_overrides={
+        "affine_output_projection.proj.weight":
+            "affine_output_projection.out.weight"})
+    assert max(r["rel_diff"] for r in rows) < 1e-5
