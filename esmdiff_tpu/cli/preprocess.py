@@ -9,8 +9,11 @@ Multiprocessing fan-out mirrors the reference's mp.Pool
 (preprocess.py:514-517).
 
 The reference also computes DSSP secondary structure via mdtraj for curation
-metadata; this pipeline skips it (the training dump never consumes it — the
-trunk receives SS8 pad tokens, slm/models/net.py:415).
+metadata (preprocess.py::compute_dssp_feats); here ``--with_dssp`` runs the
+in-repo dependency-free Kabsch-Sander assigner
+(core/secondary_structure.py) and records the 3-state string + helix/sheet/
+coil fractions per chain.  (The training dump never consumes SS — the trunk
+receives SS8 pad tokens, slm/models/net.py:415 — so it stays opt-in.)
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ class LengthError(DataProcessingError):
 
 
 def process_one(args):
-    path, out_dir, max_resolution, min_len, max_len = args
+    path, out_dir, max_resolution, min_len, max_len, with_dssp = args
     from esmdiff_tpu.core import mmcif
 
     rows = []
@@ -63,15 +66,25 @@ def process_one(args):
         if L < min_len or L > max_len:
             rows.append({"file": name, "status": f"length_filtered ({L})"})
             continue
-        np.savez_compressed(
-            Path(out_dir) / f"{name}.npz",
+        arrays = dict(
             aatype=prot.aatype,
             atom_positions=prot.atom_positions,
             atom_mask=prot.atom_mask,
             residue_index=prot.residue_index,
             sequence=np.array(prot.sequence),
         )
+        ss_cols = {}
+        if with_dssp:
+            from esmdiff_tpu.core.secondary_structure import (
+                assign_secondary_structure, ss_fractions)
+
+            ss = assign_secondary_structure(prot)
+            arrays["secondary_structure"] = np.array(ss)
+            ss_cols = {"secondary_structure": ss, **{
+                k: round(v, 4) for k, v in ss_fractions(ss).items()}}
+        np.savez_compressed(Path(out_dir) / f"{name}.npz", **arrays)
         rows.append({
+            **ss_cols,
             "file": name, "status": "ok", "length": L,
             "resolution": res if res is not None else "",
             "method": obj.header.method,
@@ -154,6 +167,11 @@ def main(argv=None):
                    help="Keep only chains whose assemblies are all this "
                         "oligomeric_detail ('' disables; reference "
                         "filter_metadata.py:77-81).")
+    p.add_argument("--with_dssp", action="store_true",
+                   help="Record 3-state secondary structure + fractions per "
+                        "chain (in-repo Kabsch-Sander, "
+                        "core/secondary_structure.py; reference uses mdtraj "
+                        "DSSP, preprocess.py:196).")
     args = p.parse_args(argv)
 
     if args.filter_only:
@@ -173,7 +191,7 @@ def main(argv=None):
     )
     print(f"[preprocess] {len(files)} mmCIF files")
     work = [(str(f), str(out_dir), args.max_resolution, args.min_len,
-             args.max_len) for f in files]
+             args.max_len, args.with_dssp) for f in files]
     if args.num_workers > 1:
         with mp.Pool(args.num_workers) as pool:
             all_rows = pool.map(process_one, work)
@@ -183,6 +201,9 @@ def main(argv=None):
     fields = ["file", "status", "length", "resolution", "method",
               "release_date", "pdb_name", "num_chains",
               "quaternary_category", "oligomeric_detail"]
+    if args.with_dssp:
+        fields += ["secondary_structure", "frac_helix", "frac_sheet",
+                   "frac_coil"]
     with open(out_dir / "metadata.csv", "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
