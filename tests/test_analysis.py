@@ -168,3 +168,75 @@ def test_ped_evaluation(ensembles):
     i_far = res["name"].index("far")
     assert res["mae_pwd"][i_close] < res["mae_pwd"][i_far]
     assert res["mae_rg"][i_close] < res["mae_rg"][i_far]
+
+
+@pytest.mark.slow
+def test_apo_cli_real_targets_end_to_end(tmp_path):
+    """cli/analyze.py apo over REAL apo target structures with the
+    reference's CSV/structures-dir layout (name, holo, seqres columns;
+    files under <dir>/<name[:2]>/<name>), including a deliberately gapped
+    partner chain per target (VERDICT #3 'done' criterion)."""
+    import csv as _csv
+    import dataclasses
+
+    from esmdiff_tpu.cli.analyze import main as analyze_main
+    from pathlib import Path
+
+    targets = sorted(Path("/root/reference/data/targets/apo").glob("*.pdb"))[:3]
+    structures = tmp_path / "structures"
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    rows = []
+    rng = np.random.RandomState(0)
+    for t in targets:
+        got = protein.from_pdb_file(t)
+        prot = got[0] if isinstance(got, list) else got
+        name1 = f"{t.stem}.pdb"
+        name2 = f"{t.stem}_holo.pdb"
+        for name, p in ((name1, prot), (name2, None)):
+            d = structures / name[:2]
+            d.mkdir(parents=True, exist_ok=True)
+            if p is not None:
+                protein.to_pdb_file(p, d / name)
+        # holo partner: same structure minus an internal 4-residue stretch,
+        # renumbered from 200 (real-world gap + numbering offset)
+        L = len(prot.aatype)
+        keep = np.ones(L, bool)
+        keep[L // 2:L // 2 + 4] = False
+        gapped = dataclasses.replace(
+            prot,
+            atom_positions=prot.atom_positions[keep],
+            atom_mask=prot.atom_mask[keep],
+            aatype=prot.aatype[keep],
+            residue_index=np.arange(200, 200 + keep.sum(), dtype=np.int32),
+            b_factors=prot.b_factors[keep],
+        )
+        protein.to_pdb_file(gapped, structures / name2[:2] / name2)
+        # samples: jittered copies of the target
+        ens = [protein.from_backbone(
+            prot.backbone_coords() + rng.randn(L, 3, 3) * 0.3,
+            sequence=prot.sequence) for _ in range(4)]
+        protein.ensemble_to_pdb_file(ens, samples / f"{t.stem}.pdb")
+        rows.append({"name": name1, "holo": name2, "seqres": prot.sequence})
+
+    pairs_csv = tmp_path / "apo.csv"
+    with open(pairs_csv, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["name", "holo", "seqres"])
+        w.writeheader()
+        w.writerows(rows)
+
+    out = tmp_path / "out"
+    analyze_main(["apo", "--samples", str(samples),
+                  "--pairs-csv", str(pairs_csv),
+                  "--structures", str(structures),
+                  "--output", str(out)])
+    import json
+
+    summary = json.loads((out / "apo_metrics.json").read_text())
+    assert len(summary["per_target"]) == 3
+    for row in summary["per_target"]:
+        # identical structures up to the artificial gap: registration must
+        # survive the gap + renumbering (truncation alignment would not)
+        assert row["tm_pair"] > 0.95, row
+        assert row["gaps"][1] >= 4  # the masked stretch is reported
+    assert summary["tm_ens_mean"] > 0.8
