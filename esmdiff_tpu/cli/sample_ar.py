@@ -25,9 +25,12 @@ def main(argv=None):
                    help="Inferred from --ckpt path if omitted.")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--config", type=str, default=None,
-                   help="Training experiment yaml (configs/clm.yaml etc.): "
-                        "builds the AR net with the trained geometry and "
-                        "takes model_type from task_name.")
+                   help="Training experiment yaml (configs/clm.yaml etc.) "
+                        "to rebuild the trained net geometry, OR a predict "
+                        "yaml (configs/predict.yaml, reference "
+                        "configs/predict.yaml) whose inference block sets "
+                        "input/output/batch/n_samples/temperature/top_p "
+                        "defaults; explicit CLI flags win.")
     p.add_argument("--n_samples", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--temperature", type=float, default=1.0)
@@ -39,9 +42,28 @@ def main(argv=None):
 
     train_cfg = None
     if args.config:
-        from esmdiff_tpu.train.config import load_config
+        from esmdiff_tpu.train.config import (is_predict_config, load_config,
+                                              load_predict_config)
 
-        train_cfg = load_config(args.config)
+        if is_predict_config(args.config):
+            pred = load_predict_config(args.config)
+            # predict-config values replace argparse DEFAULTS only, so an
+            # explicitly passed flag still wins (reference lets Hydra CLI
+            # overrides beat predict.yaml the same way).
+            inf = pred.inference
+            for flag, val in (("input", inf.input), ("output", inf.output),
+                              ("batch_size", inf.batch_size),
+                              ("n_samples", inf.n_samples),
+                              ("temperature", inf.temperature),
+                              ("top_p", inf.top_p), ("seed", pred.seed),
+                              ("ckpt", pred.ckpt_path),
+                              ("model_type", pred.model_type)):
+                if val is not None and getattr(args, flag) == p.get_default(flag):
+                    setattr(args, flag, val)
+            if pred.train_config:
+                train_cfg = load_config(pred.train_config)
+        else:
+            train_cfg = load_config(args.config)
     model_type = args.model_type
     if model_type is None:
         if train_cfg is not None and train_cfg.task_name in ("clm", "jlm"):

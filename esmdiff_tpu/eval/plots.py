@@ -16,9 +16,30 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def _kde_contour(ax, pts: np.ndarray, levels: int = 8, grid: int = 80):
+    """KDE landscape contour of the reference ensemble (the reference draws
+    this with seaborn kdeplot, plot_utils.py:138-139; here scipy + contour)."""
+    from scipy.stats import gaussian_kde
+
+    kde = gaussian_kde(pts.T)
+    pad = 0.05 * (pts.max(0) - pts.min(0) + 1e-9)
+    xs = np.linspace(pts[:, 0].min() - pad[0], pts[:, 0].max() + pad[0], grid)
+    ys = np.linspace(pts[:, 1].min() - pad[1], pts[:, 1].max() + pad[1], grid)
+    xx, yy = np.meshgrid(xs, ys)
+    zz = kde(np.stack([xx.ravel(), yy.ravel()])).reshape(xx.shape)
+    ax.contour(xx, yy, zz, levels=levels, colors="steelblue",
+               linewidths=0.8, alpha=0.7)
+
+
 def scatterplot_2d(d_proj: dict, save_to: str | Path, ref_key: str = "target",
-                   n_max_point: int = 1000, pop_ref: bool = False):
-    """2D TICA scatter of each method against the reference density."""
+                   n_max_point: int = 1000, pop_ref: bool = False,
+                   plot_kde: bool = False):
+    """2D TICA scatter of each method against the reference density.
+
+    ``plot_kde`` matches the reference flag (plot_utils.py:77): sample points
+    are colored by their own KDE density (plot_utils.py:129) and the
+    reference ensemble is drawn as a KDE landscape contour.
+    """
     d = dict(d_proj)
     ref = d.get(ref_key)
     if pop_ref:
@@ -28,10 +49,21 @@ def scatterplot_2d(d_proj: dict, save_to: str | Path, ref_key: str = "target",
     fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
     for ax, name in zip(axes[0], names or [ref_key]):
         if ref is not None:
-            r = ref[:n_max_point]
-            ax.scatter(r[:, 0], r[:, 1], s=4, c="lightgray", label=ref_key)
-        v = d[name][:n_max_point]
-        ax.scatter(v[:, 0], v[:, 1], s=4, alpha=0.6, label=name)
+            r = np.asarray(ref[:n_max_point], dtype=float)
+            if plot_kde and len(r) > 2:
+                _kde_contour(ax, r)
+            else:
+                ax.scatter(r[:, 0], r[:, 1], s=4, c="lightgray",
+                           label=ref_key)
+        v = np.asarray(d[name][:n_max_point], dtype=float)
+        if plot_kde and len(v) > 2:
+            from scipy.stats import gaussian_kde
+
+            dens = gaussian_kde(v.T)(v.T)
+            ax.scatter(v[:, 0], v[:, 1], s=4, c=dens, cmap="viridis",
+                       alpha=0.8, label=name)
+        else:
+            ax.scatter(v[:, 0], v[:, 1], s=4, alpha=0.6, label=name)
         ax.set_xlabel("TIC 1")
         ax.set_ylabel("TIC 2")
         ax.legend(frameon=False, fontsize=8)

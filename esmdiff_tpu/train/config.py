@@ -112,6 +112,57 @@ class TrainConfig:
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
 
 
+@dataclasses.dataclass
+class InferenceConfig:
+    """AR-sampling knobs (reference configs/predict.yaml:26-31)."""
+
+    input: Optional[str] = None      # dir of target .pdb files
+    output: str = "output/inference"
+    batch_size: int = 32
+    n_samples: int = 100
+    temperature: float = 1.0         # reference sample_hf.py:292-296
+    top_p: float = 0.95
+
+
+@dataclasses.dataclass
+class PredictConfig:
+    """Root prediction config (reference configs/predict.yaml).
+
+    ``train_config`` points at the experiment yaml used for training so the
+    AR net is rebuilt with the trained geometry (the reference re-instantiates
+    from the run's .hydra config, checkpoint_utils.py:48-59).
+    """
+
+    task_name: str = "predict"
+    seed: int = 0
+    ckpt_path: Optional[str] = None
+    train_config: Optional[str] = None
+    model_type: Optional[str] = None  # clm | jlm; inferred from ckpt if None
+    inference: InferenceConfig = dataclasses.field(
+        default_factory=InferenceConfig)
+
+
+def load_predict_config(yaml_path: str,
+                        overrides: Optional[list[str]] = None
+                        ) -> PredictConfig:
+    """defaults <- predict yaml <- 'a.b=c' CLI overrides."""
+    cfg = PredictConfig()
+    with open(yaml_path) as f:
+        _apply(cfg, yaml.safe_load(f) or {})
+    for ov in overrides or []:
+        k, _, v = ov.partition("=")
+        _set_dotted(cfg, k, v)
+    return cfg
+
+
+def is_predict_config(yaml_path: str) -> bool:
+    """A yaml with an ``inference`` block is a predict config, not a
+    training experiment (reference keeps them as separate Hydra roots)."""
+    with open(yaml_path) as f:
+        d = yaml.safe_load(f) or {}
+    return "inference" in d or d.get("task_name") == "predict"
+
+
 def _apply(obj: Any, updates: dict):
     for k, v in updates.items():
         if not hasattr(obj, k):

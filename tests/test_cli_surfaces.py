@@ -88,8 +88,28 @@ def test_plots_render(tmp_path):
     plots.scatterplot_apo(rng.rand(10), rng.rand(10), tmp_path / "apo.png",
                           regplot=True)
     plots.heatmap(rng.rand(20, 20), tmp_path / "hm.png")
-    for f in ("tica.png", "apo.png", "hm.png"):
+    plots.scatterplot_2d(
+        {"target": rng.randn(80, 2), "pred": rng.randn(40, 2)},
+        tmp_path / "tica_kde.png", plot_kde=True)
+    for f in ("tica.png", "apo.png", "hm.png", "tica_kde.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_predict_config(tmp_path):
+    from esmdiff_tpu.train.config import (is_predict_config,
+                                          load_predict_config, load_config)
+
+    assert is_predict_config("configs/predict.yaml")
+    assert not is_predict_config("configs/clm.yaml")
+    cfg = load_predict_config("configs/predict.yaml")
+    assert cfg.inference.n_samples == 100 and cfg.inference.batch_size == 32
+    assert cfg.inference.temperature == 1.0 and cfg.inference.top_p == 0.95
+    cfg = load_predict_config("configs/predict.yaml",
+                              overrides=["inference.n_samples=7",
+                                         "model_type=jlm"])
+    assert cfg.inference.n_samples == 7 and cfg.model_type == "jlm"
+    # the training loader still handles experiment yamls
+    assert load_config("configs/clm.yaml").task_name == "clm"
 
 
 def test_metric_logger_and_timer(tmp_path, capsys):

@@ -127,6 +127,30 @@ def test_jlm_dump_train_sample_analyze(dumped, tmp_path):
     _sample_and_analyze("jlm", cfg, ckpt, dumped, tmp_path)
 
 
+def test_sample_ar_cli_predict_config(tmp_path):
+    """`esmdiff-sample-ar --config <predict.yaml>` (reference predict.yaml
+    root): inference block drives input/output/batch/n_samples; explicit
+    CLI flags still win (--model_scale here)."""
+    import yaml
+
+    from esmdiff_tpu.cli.sample_ar import main as ar_main
+
+    pdb_dir = tmp_path / "targets"
+    pdb_dir.mkdir()
+    shutil.copy(BPTI, pdb_dir / "bpti.pdb")
+    out = tmp_path / "out"
+    cfg_path = tmp_path / "predict.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "task_name": "predict", "model_type": "jlm",
+        "inference": {"input": str(pdb_dir), "output": str(out),
+                      "batch_size": 2, "n_samples": 2,
+                      "temperature": 1.0, "top_p": 0.9}}))
+    ar_main(["--config", str(cfg_path), "--model_scale", "tiny"])
+    merged = out / "bpti.pdb"
+    assert merged.exists()
+    assert merged.read_text().count("MODEL") >= 2  # n_samples from the yaml
+
+
 def test_clm_requires_embeddings(tmp_path):
     """A corpus without embeddings must fail loudly for AR tasks."""
     from esmdiff_tpu.core import constants as C
