@@ -235,6 +235,33 @@ def convert_vqvae_encoder(template_params, state_dict, n_layers: int = 2,
         key_overrides=key_overrides, strict=strict)
 
 
+def function_decoder_rules(n_layers: int = 3):
+    """FunctionTokenDecoder params (models/function_decoder.py): depth-offset
+    token embedding, small unrolled stack, InterPro/keyword regression heads.
+    (Fills the ESM3_function_decoder_v0 loading slot, reference
+    slm/models/net.py:27,350; real-checkpoint name drift is absorbed by the
+    key_overrides hook like every other component.)"""
+    rules: dict[tuple, tuple] = {
+        ("embed", "embedding"): ("embedding.weight", _id),
+        ("decoder", "norm", "scale"): ("decoder.norm.weight", _id),
+    }
+    for i in range(n_layers):
+        for k, v in _block_rules(f"decoder.blocks.{i}").items():
+            rules[("decoder", f"block{i}") + k] = v
+    rules.update(_regression_head_rules(
+        ("interpro_head",), "heads.interpro_logits"))
+    rules.update(_regression_head_rules(
+        ("keyword_head",), "heads.keyword_logits"))
+    return rules
+
+
+def convert_function_decoder(template_params, state_dict, n_layers: int = 3,
+                             strict: bool = False, key_overrides=None):
+    return convert_params(
+        template_params, state_dict, function_decoder_rules(n_layers),
+        key_overrides=key_overrides, strict=strict)
+
+
 # ---------------------------------------------------------------------------
 # conversion driver
 # ---------------------------------------------------------------------------

@@ -586,6 +586,362 @@ def verify_vqvae_decoder(state_dict: dict, cfg=None,
     return rows
 
 
+# ---------------------------------------------------------------------------
+# VQ-VAE encoder verification (ROUND1_NOTES #2 risk surface, encoder half)
+# ---------------------------------------------------------------------------
+
+def _encoder_tensor_specs(cfg) -> dict[str, tuple]:
+    """StructureTokenEncoder tensor names/shapes per the public esm-3.0.4
+    module tree (the converter's vqvae_encoder_rules expectations; drift on
+    real checkpoints is remapped via key_overrides)."""
+    from esmdiff_tpu.nn.layers import swiglu_hidden_dim
+
+    d = cfg.d_model
+    h = swiglu_hidden_dim(d)
+    H = cfg.v_heads
+    specs: dict[str, tuple] = {
+        "relative_positional_embedding.embedding.weight":
+            (2 * cfg.rel_pos_bins + 2, d),
+        "pre_vq_proj.weight": (cfg.d_out, d),
+        "pre_vq_proj.bias": (cfg.d_out,),
+        "codebook.embeddings": (cfg.n_codes, cfg.d_out),
+        "transformer.norm.weight": (d,),
+    }
+    for i in range(cfg.n_layers):
+        p = f"transformer.blocks.{i}"
+        specs.update({
+            f"{p}.attn.layernorm_qkv.0.weight": (d,),
+            f"{p}.attn.layernorm_qkv.1.weight": (3 * d, d),
+            f"{p}.attn.q_ln.weight": (d,),
+            f"{p}.attn.k_ln.weight": (d,),
+            f"{p}.attn.out_proj.weight": (d, d),
+            f"{p}.ffn.0.weight": (d,),
+            f"{p}.ffn.1.weight": (2 * h, d),
+            f"{p}.ffn.3.weight": (d, h),
+        })
+        if i == 0:  # stack_config: n_layers_geom=1
+            specs.update({
+                f"{p}.geom_attn.s_norm.weight": (d,),
+                f"{p}.geom_attn.proj.weight": (H * 15, d),
+                f"{p}.geom_attn.out_proj.weight": (d, H * 3),
+                f"{p}.geom_attn.distance_scale_per_head": (H,),
+                f"{p}.geom_attn.rotation_scale_per_head": (H,),
+            })
+    return specs
+
+
+def make_reference_encoder_state_dict(cfg, seed: int = 0,
+                                      scale: float = 0.05) -> dict:
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, shape in _encoder_tensor_specs(cfg).items():
+        if len(shape) == 1 and name.endswith(
+                (".0.weight", "norm.weight", "q_ln.weight", "k_ln.weight",
+                 "s_norm.weight")):
+            arr = 1.0 + rng.randn(*shape) * 0.02
+        else:
+            arr = rng.randn(*shape) * scale
+        sd[name] = arr.astype(np.float32)
+    return sd
+
+
+def verify_vqvae_encoder(state_dict: dict, cfg=None,
+                         key_overrides=None, value_transforms=None,
+                         probe_seed: int = 7) -> list[dict]:
+    """Per-layer activation diff of a converted StructureTokenEncoder:
+    rel-pos table, each stack block (block 0 with geometric attention),
+    final norm, pre-VQ projection, and codebook distance geometry."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from esmdiff_tpu.models.esm3 import TransformerBlock
+    from esmdiff_tpu.models.vqvae import (EncoderConfig, StructureTokenEncoder,
+                                          nearest_code)
+    from esmdiff_tpu.nn.geometric import build_affine3d_from_coordinates
+    from esmdiff_tpu.nn.rotary import rotary_tables
+    from .torch_to_jax import convert_vqvae_encoder
+
+    if cfg is None:
+        cfg = EncoderConfig()
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    enc = StructureTokenEncoder(cfg)
+    template = jax.jit(lambda k: enc.init(
+        k, jnp.zeros((1, 8, 3, 3), jnp.float32)))(
+        jax.random.PRNGKey(0))["params"]
+
+    canon = dict(state_dict)
+    for canonical, actual in (key_overrides or {}).items():
+        if actual in canon:
+            canon[canonical] = canon[actual]
+    for key, vt in (value_transforms or {}).items():
+        if key in canon:
+            canon[key] = vt(canon[key])
+    specs = _encoder_tensor_specs(cfg)
+    missing_canonical = [n for n in specs if n not in canon]
+    for n in missing_canonical:
+        canon[n] = np.zeros(specs[n], np.float32)
+    state_dict = canon
+
+    params, report = convert_vqvae_encoder(template, state_dict,
+                                           n_layers=cfg.n_layers,
+                                           strict=False)
+    report["missing"] = sorted(
+        set(report["missing"]) | set(missing_canonical))
+    if report["missing"]:
+        print(f"[verify] MISSING torch keys ({len(report['missing'])}): "
+              + ", ".join(report["missing"][:8]))
+
+    rng = np.random.RandomState(probe_seed)
+    stack_cfg = cfg.stack_config()
+    stack_cfg = type(stack_cfg)(**{**stack_cfg.__dict__, "dtype": "float32",
+                                   "param_dtype": "float32"})
+    scale = stack_cfg.residue_scaling_factor
+    rot_cos, rot_sin = rotary_tables(PROBE_L, cfg.d_model // cfg.n_heads)
+
+    rows = []
+
+    def record(name, jax_out, torch_out):
+        a = np.asarray(jax_out, np.float32)
+        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
+            else np.asarray(torch_out, np.float32)
+        d = float(np.max(np.abs(a - b)))
+        rows.append({"layer": name, "max_abs_diff": d,
+                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+
+    # relative-position table lookup
+    ids = rng.randint(0, 2 * cfg.rel_pos_bins + 2, (PROBE_B, PROBE_L))
+    jax_tab = np.asarray(params["relative_position_embed"]["embedding"])
+    t_tab = state_dict["relative_positional_embedding.embedding.weight"]
+    record("relpos_embed", jax_tab[ids], torch.as_tensor(t_tab[ids]))
+
+    # stack blocks on a shared probe (block 0 geometric)
+    x_np = rng.randn(PROBE_B, PROBE_L, cfg.d_model).astype(np.float32)
+    bb = rng.randn(PROBE_B, PROBE_L, 3, 3).astype(np.float32) * 3.0
+    affine, affine_mask = build_affine3d_from_coordinates(jnp.asarray(bb))
+    for i in range(cfg.n_layers):
+        x = jnp.asarray(x_np)
+        xt = torch.as_tensor(x_np)
+        blk_params = params["transformer"][f"block{i}"]
+        if i == 0:
+            block = TransformerBlock(stack_cfg, use_geom_attn=True)
+            jax_out = block.apply({"params": blk_params}, x, rot_cos,
+                                  rot_sin, None, affine=affine,
+                                  affine_mask=affine_mask)
+            t_out = _oracle_block_with_geom(
+                state_dict, f"transformer.blocks.{i}", xt, stack_cfg, scale,
+                torch.as_tensor(np.asarray(affine.rot)),
+                torch.as_tensor(np.asarray(affine.trans)),
+                torch.as_tensor(np.asarray(affine_mask)))
+            record(f"enc_block{i}(geom)", jax_out, t_out)
+        else:
+            block = TransformerBlock(stack_cfg, use_geom_attn=False)
+            jax_out = block.apply({"params": blk_params}, x, rot_cos,
+                                  rot_sin, None)
+            t_out = oracle_block(state_dict, f"transformer.blocks.{i}", xt,
+                                 cfg.n_heads, scale)
+            record(f"enc_block{i}", jax_out, t_out)
+
+    # final norm
+    from esmdiff_tpu.nn.layers import LayerNorm
+
+    ln_out = LayerNorm().apply(
+        {"params": params["transformer"]["norm"]}, jnp.asarray(x_np))
+    t_ln = _oracle_ln(torch.as_tensor(x_np), torch.as_tensor(
+        state_dict["transformer.norm.weight"]))
+    record("final_norm", ln_out, t_ln)
+
+    # pre-VQ projection
+    t_z = (torch.as_tensor(x_np)
+           @ torch.as_tensor(state_dict["pre_vq_proj.weight"]).T
+           + torch.as_tensor(state_dict["pre_vq_proj.bias"]))
+    j_z = (jnp.asarray(x_np) @ params["pre_vq_proj"]["kernel"]
+           + params["pre_vq_proj"]["bias"])
+    record("pre_vq_proj", j_z, t_z)
+
+    # codebook: squared-distance geometry + argmin token agreement
+    z_np = rng.randn(PROBE_B, PROBE_L, cfg.d_out).astype(np.float32)
+    cb_j = np.asarray(params["codebook"], np.float32)
+    cb_t = state_dict["codebook.embeddings"]
+    d2_t = (np.sum(z_np**2, -1, keepdims=True)
+            - 2.0 * z_np @ cb_t.T + np.sum(cb_t**2, -1))
+    d2_j = (np.sum(z_np**2, -1, keepdims=True)
+            - 2.0 * z_np @ cb_j.T + np.sum(cb_j**2, -1))
+    record("codebook_d2", d2_j, torch.as_tensor(d2_t))
+    tok_j = np.asarray(nearest_code(jnp.asarray(z_np), jnp.asarray(cb_j)))
+    tok_t = np.argmin(d2_t, axis=-1)
+    agree = float(np.mean(tok_j == tok_t))
+    rows.append({"layer": "codebook_argmin", "max_abs_diff": 1.0 - agree,
+                 "rel_diff": 1.0 - agree})
+
+    print(f"{'layer':<18} {'max_abs_diff':>14} {'rel_diff':>12}")
+    worst = 0.0
+    for r in rows:
+        print(f"{r['layer']:<18} {r['max_abs_diff']:>14.3e} "
+              f"{r['rel_diff']:>12.3e}")
+        worst = max(worst, r["rel_diff"])
+    verdict = "OK" if worst < 1e-4 and not report["missing"] else "MISMATCH"
+    print(f"[verify] encoder worst rel diff {worst:.3e}, "
+          f"{len(report['missing'])} missing keys -> {verdict}")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# function-token decoder verification (ROUND1_NOTES #3 risk surface)
+# ---------------------------------------------------------------------------
+
+def _function_decoder_tensor_specs(cfg) -> dict[str, tuple]:
+    from esmdiff_tpu.nn.layers import swiglu_hidden_dim
+
+    d = cfg.d_model
+    h = swiglu_hidden_dim(d)
+    specs: dict[str, tuple] = {
+        "embedding.weight":
+            (cfg.function_token_depth * cfg.function_token_vocab, d),
+        "decoder.norm.weight": (d,),
+    }
+    for i in range(cfg.n_layers):
+        p = f"decoder.blocks.{i}"
+        specs.update({
+            f"{p}.attn.layernorm_qkv.0.weight": (d,),
+            f"{p}.attn.layernorm_qkv.1.weight": (3 * d, d),
+            f"{p}.attn.q_ln.weight": (d,),
+            f"{p}.attn.k_ln.weight": (d,),
+            f"{p}.attn.out_proj.weight": (d, d),
+            f"{p}.ffn.0.weight": (d,),
+            f"{p}.ffn.1.weight": (2 * h, d),
+            f"{p}.ffn.3.weight": (d, h),
+        })
+    for head, out in (("heads.interpro_logits", cfg.interpro_classes),
+                      ("heads.keyword_logits", cfg.keyword_vocab)):
+        specs.update({
+            f"{head}.0.weight": (d, d), f"{head}.0.bias": (d,),
+            f"{head}.2.weight": (d,), f"{head}.2.bias": (d,),
+            f"{head}.3.weight": (out, d), f"{head}.3.bias": (out,),
+        })
+    return specs
+
+
+def make_reference_function_decoder_state_dict(cfg, seed: int = 0,
+                                               scale: float = 0.05) -> dict:
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, shape in _function_decoder_tensor_specs(cfg).items():
+        if len(shape) == 1 and name.endswith(
+                (".0.weight", "norm.weight", "q_ln.weight", "k_ln.weight")):
+            arr = 1.0 + rng.randn(*shape) * 0.02
+        else:
+            arr = rng.randn(*shape) * scale
+        sd[name] = arr.astype(np.float32)
+    return sd
+
+
+def verify_function_decoder(state_dict: dict, cfg=None,
+                            key_overrides=None, value_transforms=None,
+                            probe_seed: int = 7) -> list[dict]:
+    """Per-layer activation diff of a converted FunctionTokenDecoder."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from esmdiff_tpu.models.esm3 import TransformerBlock
+    from esmdiff_tpu.models.function_decoder import (FunctionDecoderConfig,
+                                                     FunctionTokenDecoder)
+    from esmdiff_tpu.nn.layers import LayerNorm, RegressionHead
+    from esmdiff_tpu.nn.rotary import rotary_tables
+    from .torch_to_jax import convert_function_decoder
+
+    if cfg is None:
+        cfg = FunctionDecoderConfig()
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "float32"})
+    dec = FunctionTokenDecoder(cfg)
+    template = jax.jit(lambda k: dec.init(
+        k, jnp.zeros((1, cfg.function_token_depth), jnp.int32)))(
+        jax.random.PRNGKey(0))["params"]
+
+    canon = dict(state_dict)
+    for canonical, actual in (key_overrides or {}).items():
+        if actual in canon:
+            canon[canonical] = canon[actual]
+    for key, vt in (value_transforms or {}).items():
+        if key in canon:
+            canon[key] = vt(canon[key])
+    specs = _function_decoder_tensor_specs(cfg)
+    missing_canonical = [n for n in specs if n not in canon]
+    for n in missing_canonical:
+        canon[n] = np.zeros(specs[n], np.float32)
+    state_dict = canon
+
+    params, report = convert_function_decoder(template, state_dict,
+                                              n_layers=cfg.n_layers,
+                                              strict=False)
+    report["missing"] = sorted(
+        set(report["missing"]) | set(missing_canonical))
+    if report["missing"]:
+        print(f"[verify] MISSING torch keys ({len(report['missing'])}): "
+              + ", ".join(report["missing"][:8]))
+
+    rng = np.random.RandomState(probe_seed)
+    D = cfg.function_token_depth
+    stack_cfg = cfg.stack_config()
+    stack_cfg = type(stack_cfg)(**{**stack_cfg.__dict__, "dtype": "float32",
+                                   "param_dtype": "float32"})
+    scale = stack_cfg.residue_scaling_factor
+    rot_cos, rot_sin = rotary_tables(D, cfg.d_model // cfg.n_heads)
+
+    rows = []
+
+    def record(name, jax_out, torch_out):
+        a = np.asarray(jax_out, np.float32)
+        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
+            else np.asarray(torch_out, np.float32)
+        d = float(np.max(np.abs(a - b)))
+        rows.append({"layer": name, "max_abs_diff": d,
+                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+
+    # depth-offset embedding lookup
+    toks = rng.randint(0, cfg.function_token_vocab, (PROBE_B, D))
+    flat = toks + np.arange(D) * cfg.function_token_vocab
+    record("fn_embed", np.asarray(params["embed"]["embedding"])[flat],
+           torch.as_tensor(state_dict["embedding.weight"][flat]))
+
+    x_np = rng.randn(PROBE_B, D, cfg.d_model).astype(np.float32)
+    for i in range(cfg.n_layers):
+        blk_params = params["decoder"][f"block{i}"]
+        block = TransformerBlock(stack_cfg, use_geom_attn=False)
+        jax_out = block.apply({"params": blk_params}, jnp.asarray(x_np),
+                              rot_cos, rot_sin, None)
+        t_out = oracle_block(state_dict, f"decoder.blocks.{i}",
+                             torch.as_tensor(x_np), cfg.n_heads, scale)
+        record(f"fn_block{i}", jax_out, t_out)
+
+    ln_out = LayerNorm().apply(
+        {"params": params["decoder"]["norm"]}, jnp.asarray(x_np))
+    record("final_norm", ln_out, _oracle_ln(
+        torch.as_tensor(x_np),
+        torch.as_tensor(state_dict["decoder.norm.weight"])))
+
+    pooled = x_np.mean(axis=-2)
+    for jax_name, torch_name, out in (
+            ("interpro_head", "heads.interpro_logits", cfg.interpro_classes),
+            ("keyword_head", "heads.keyword_logits", cfg.keyword_vocab)):
+        h_out = RegressionHead(out, dtype=jnp.float32).apply(
+            {"params": params[jax_name]}, jnp.asarray(pooled))
+        record(jax_name, h_out, oracle_regression_head(
+            state_dict, torch_name, torch.as_tensor(pooled)))
+
+    print(f"{'layer':<18} {'max_abs_diff':>14} {'rel_diff':>12}")
+    worst = 0.0
+    for r in rows:
+        print(f"{r['layer']:<18} {r['max_abs_diff']:>14.3e} "
+              f"{r['rel_diff']:>12.3e}")
+        worst = max(worst, r["rel_diff"])
+    verdict = "OK" if worst < 1e-4 and not report["missing"] else "MISMATCH"
+    print(f"[verify] function decoder worst rel diff {worst:.3e}, "
+          f"{len(report['missing'])} missing keys -> {verdict}")
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Per-layer torch-vs-jax activation diff of a converted "
@@ -600,8 +956,41 @@ def main(argv=None):
     p.add_argument("--layers", type=str, default=None,
                    help="Layer slice, e.g. 0:4")
     p.add_argument("--component", type=str, default="trunk",
-                   choices=["trunk", "vqvae_decoder"])
+                   choices=["trunk", "vqvae_decoder", "vqvae_encoder",
+                            "function_decoder"])
     args = p.parse_args(argv)
+
+    if args.component == "vqvae_encoder":
+        from esmdiff_tpu.models.vqvae import EncoderConfig
+
+        cfg = (EncoderConfig(d_model=64, n_heads=2, v_heads=8, n_layers=2,
+                             d_out=16, knn=8)
+               if args.scale == "tiny" else EncoderConfig())
+        if args.fixture or not args.ckpt:
+            sd = make_reference_encoder_state_dict(cfg)
+            print("[verify] using synthetic reference-layout fixture")
+        else:
+            from .torch_to_jax import load_torch_state_dict
+
+            sd = load_torch_state_dict(args.ckpt)
+        verify_vqvae_encoder(sd, cfg)
+        return
+
+    if args.component == "function_decoder":
+        from esmdiff_tpu.models.function_decoder import FunctionDecoderConfig
+
+        cfg = (FunctionDecoderConfig(d_model=64, n_heads=4, n_layers=2,
+                                     interpro_classes=37, keyword_vocab=53)
+               if args.scale == "tiny" else FunctionDecoderConfig())
+        if args.fixture or not args.ckpt:
+            sd = make_reference_function_decoder_state_dict(cfg)
+            print("[verify] using synthetic reference-layout fixture")
+        else:
+            from .torch_to_jax import load_torch_state_dict
+
+            sd = load_torch_state_dict(args.ckpt)
+        verify_function_decoder(sd, cfg)
+        return
 
     if args.component == "vqvae_decoder":
         from esmdiff_tpu.models.vqvae import DecoderConfig
