@@ -152,9 +152,17 @@ class MDLM:
 
     def forward_logits(self, params, xt, condition_seq, sigma,
                        shield_specials: bool = False, sequence_id=None,
-                       lengths=None):
+                       lengths=None, parameterize: bool = True):
         """Full conditioned forward -> parameterized log-probs
-        (reference _model_wrapper, model.py:464-492)."""
+        (reference _model_wrapper, model.py:464-492).
+
+        ``parameterize=False`` skips the SUBS log-softmax/carry-over and
+        returns raw fp32 logits with only the mask-token and (optionally)
+        special-token shields applied — enough for Gumbel-max sampling,
+        which is invariant to the log-softmax normalization.  The sampler
+        uses this to avoid materializing two extra (B, L, V) arrays per
+        step; the carry-over rule is applied on the token level instead.
+        """
         if sigma is not None:
             sigma = self._process_sigma(sigma)
             cond = self.sigma_embedder.apply(
@@ -170,7 +178,15 @@ class MDLM:
             lengths=lengths,
             auxiliary_embeddings=aux,
         )
-        logits = logits_parameterization(out.structure_logits, xt, self.cfg)
+        if parameterize:
+            logits = logits_parameterization(out.structure_logits, xt,
+                                             self.cfg)
+        else:
+            mask_onehot = jax.nn.one_hot(
+                jnp.asarray(self.cfg.mask_index),
+                out.structure_logits.shape[-1], dtype=jnp.float32)
+            logits = (out.structure_logits.astype(jnp.float32)
+                      + mask_onehot * NEG_INFINITY)
         if shield_specials:
             logits = shield_special_tokens(logits)
         seq_logits = out.sequence_logits if self.cfg.sequence_prediction else None
@@ -298,25 +314,35 @@ class MDLM:
         def step(carry, inp):
             t, final = inp
             x, key = carry
-            key, k_cat = jax.random.split(key)
+            key, k_tok, k_stay = jax.random.split(key, 3)
             tb = jnp.full((B,), t, dtype=jnp.float32)
             sigma_t = self.noise.total_noise(tb)
             sigma_s = self.noise.total_noise(tb - dt)
-            mc_t = (1 - jnp.exp(-sigma_t))[:, None, None]
-            mc_s = (1 - jnp.exp(-sigma_s))[:, None, None]
-            log_p_x0, _ = self.forward_logits(
+            mc_t = (1 - jnp.exp(-sigma_t))[:, None]  # (B, 1)
+            mc_s = (1 - jnp.exp(-sigma_s))[:, None]
+            z, _ = self.forward_logits(
                 params, x, sequence_tokens, sigma_t[:, None],
                 shield_specials=shield_specials, sequence_id=sequence_id,
-                lengths=lengths,
+                lengths=lengths, parameterize=False,
             )
-            q_xs = jnp.exp(log_p_x0) * (mc_t - mc_s)
-            q_xs = q_xs.at[:, :, cfg.mask_index].set(mc_s[:, :, 0])
-            x_new = sample_categorical(k_cat, q_xs).astype(jnp.int32)
+            # Two-stage factorization of the reference posterior sample
+            # (model.py:602-604): q_xs = p(x0)*(mc_t-mc_s) with mass mc_s on
+            # MASK.  Since p(x0) sums to 1, a masked position stays masked
+            # w.p. mc_s/mc_t and otherwise draws x0 ~ softmax(z) — identical
+            # distribution, without materializing log_softmax/q_xs (two
+            # (B, L, V) arrays per step).  Gumbel-max needs no normalization.
+            # Verified against the direct q_xs formula in
+            # tests/test_diffusion.py::test_ddpm_two_stage_update_equivalence.
+            g = jax.random.gumbel(k_tok, z.shape, jnp.float32)
+            x_new = jnp.argmax(z + g, axis=-1).astype(jnp.int32)
+            stay = jax.random.uniform(k_stay, (B, L)) * mc_t < mc_s
+            x_new = jnp.where(stay, cfg.mask_index, x_new)
             copy = x != cfg.mask_index
             x_upd = jnp.where(copy, x, x_new)
-            # noise removal: argmax of the parameterized log-probs (equals
-            # carry-over on unmasked positions by construction)
-            x_denoised = jnp.argmax(log_p_x0, axis=-1).astype(jnp.int32)
+            # noise removal: argmax of p(x0) at still-masked positions;
+            # unmasked positions carry over (the SUBS rule on token level)
+            x_denoised = jnp.where(
+                copy, x, jnp.argmax(z, axis=-1).astype(jnp.int32))
             x = jnp.where(final, x_denoised, x_upd)
             return (x, key), None
 

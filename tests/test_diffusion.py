@@ -226,3 +226,39 @@ def test_iterative_unmask_commits_everything(tiny_mdlm):
     assert (s[:, 1:-1] < C.VQVAE_CODEBOOK_SIZE).all()
     # non-decode positions untouched
     assert (s[:, 0] == C.STRUCTURE_MASK_TOKEN).all()
+
+
+def test_ddpm_two_stage_update_equivalence():
+    """The scan's two-stage update (stay-masked w.p. mc_s/mc_t, else
+    Gumbel-max over raw logits) must match the reference's direct
+    categorical over q_xs = p(x0)*(mc_t-mc_s) with mass mc_s on MASK
+    (model.py:602-604) in distribution."""
+    V, mask_index = 8, 7
+    rng = np.random.RandomState(0)
+    z = rng.randn(V).astype(np.float32) * 2.0
+    z[mask_index] = -1e9
+    mc_t, mc_s = 0.7, 0.3
+    p = np.exp(z - z.max())
+    p /= p.sum()
+
+    N = 40000
+    # reference formula: gumbel-max over unnormalized q_xs
+    q_xs = p * (mc_t - mc_s)
+    q_xs[mask_index] = mc_s
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(42), 3)
+    gn = 1e-10 - jnp.log(jax.random.uniform(k1, (N, V)) + 1e-10)
+    ref_draw = np.asarray(jnp.argmax(jnp.asarray(q_xs)[None] / gn, axis=-1))
+
+    # two-stage: Gumbel-max over z, then stay-masked w.p. mc_s/mc_t
+    g = jax.random.gumbel(k2, (N, V), jnp.float32)
+    tok = np.asarray(jnp.argmax(jnp.asarray(z)[None] + g, axis=-1))
+    stay = np.asarray(jax.random.uniform(k3, (N,))) * mc_t < mc_s
+    new_draw = np.where(stay, mask_index, tok)
+
+    ref_freq = np.bincount(ref_draw, minlength=V) / N
+    new_freq = np.bincount(new_draw, minlength=V) / N
+    tv = 0.5 * np.abs(ref_freq - new_freq).sum()
+    assert tv < 0.02, (tv, ref_freq, new_freq)
+    # exact expected distribution as a sanity anchor
+    expect = q_xs / q_xs.sum()
+    assert 0.5 * np.abs(new_freq - expect).sum() < 0.02
