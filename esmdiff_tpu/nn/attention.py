@@ -19,10 +19,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# In-scan measurements on v5e (PERF.md round-2 table): XLA's fused attention
-# beats the Pallas kernel until ~1k tokens (L=256: 360 vs 486 ms/step,
-# L=512: 203 vs 221, L=1024: 128 vs 111) — protein chains are bounded at
-# ~1k, so flash engages only at the top of the range.
+# In-scan measurements on v5e (PERF.md round-2 tables): XLA's fused attention
+# beats the Pallas kernel until ~1k tokens even after the round-2 kernel
+# tuning (L=256: 360 vs 486 ms/step, L=512: 202.5 vs 209, L=1024: 128 vs
+# 107.5) — protein chains are bounded at ~1k, so flash engages only at the
+# top of the range.
 _FLASH_MIN_LEN = 1024
 
 

@@ -21,38 +21,48 @@ notes) so this shape is the fast path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+# tuning knob (scripts/attn_sweep.py, in-scan on v5e): block_q=512 measured
+# best at L=512 (209 vs 216 ms/step @256, 230 @128) and L=1024 (107.5 vs
+# 108.4 @256); capped to L at dispatch
+DEFAULT_BLOCK_Q = int(os.environ.get("ESMDIFF_FLASH_BLOCK_Q", "512"))
 
 
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
                  block_q: int):
     b = pl.program_id(0)
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)          # (BQ, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)          # (L, Dh)
+    # keep q/k in their native (bf16) dtype with fp32 accumulation via
+    # preferred_element_type (upcasting the inputs to fp32 buys no accuracy
+    # the XLA path has, and measured step-time neutral at L=1024 — the
+    # kernel is softmax/VPU-bound, not MXU-bound, at protein lengths)
+    q = q_ref[0, 0]                               # (BQ, Dh)
+    k = k_ref[0, 0]                               # (L, Dh)
     v = v_ref[0, 0]                               # (L, Dh)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                     # (BQ, L)
+    ) * scale                                     # (BQ, L) fp32
     L = logits.shape[1]
     valid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) \
         < lengths_ref[b]
     logits = jnp.where(valid, logits, -1e9)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
+    # fold the 1/denom normalization into the (BQ, Dh) output instead of a
+    # (BQ, L) division pass — the kernel is VPU-bound at protein lengths
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0, 0] = (o * (1.0 / denom)).astype(o_ref.dtype)
 
 
 def _xla_attention_with_lengths(q, k, v, lengths):
@@ -141,6 +151,10 @@ def _flash_attention_impl(q, k, v, lengths, block_q, interpret):
         functools.partial(_attn_kernel, scale=scale, block_q=block_q),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        # all grid dims are independent -> let Mosaic pipeline DMA across
+        # programs instead of treating the grid as sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(lengths, qt, kt, vt)
     return jnp.transpose(out, (0, 2, 1, 3))
