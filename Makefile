@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench tmscore smoke clean
+.PHONY: test test-fast bench native tmscore pdbio smoke clean
 
 test:
 	python -m pytest tests/ -q
@@ -9,6 +9,11 @@ test-fast:
 
 tmscore:
 	$(MAKE) -C native/tmscore
+
+pdbio:
+	$(MAKE) -C native/pdbio
+
+native: tmscore pdbio
 
 bench:
 	python bench.py
@@ -25,4 +30,4 @@ smoke:
 	  --mode ddpm --num_steps 4 --num_samples 2 --model_scale tiny
 
 clean:
-	rm -rf native/tmscore/build output
+	rm -rf native/tmscore/build native/pdbio/build output

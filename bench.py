@@ -114,6 +114,8 @@ def main():
                         "each) instead of the single headline line.")
     p.add_argument("--steps", type=int, default=25)
     p.add_argument("--samples", type=int, default=100)
+    p.add_argument("--only_L", type=int, default=None,
+                   help="Matrix mode: run only this length row.")
     args = p.parse_args()
 
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
@@ -133,6 +135,8 @@ def main():
 
         rng = np.random.RandomState(0)
         for L in (64, 128, 256, 512, 1024):
+            if args.only_L is not None and L != args.only_L:
+                continue
             # synthetic chain filling the padded bucket (L-2 residues+specials)
             toks = np.concatenate([[0], rng.randint(4, 24, L - 2), [2]])
             row = _seq_row(toks.astype(np.int32), L)
