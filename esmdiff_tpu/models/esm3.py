@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -61,6 +62,12 @@ class ESM3Config:
     scan_layers: bool = True
     scan_unroll: int = 1   # >1 lets XLA pipeline across layer boundaries
     remat: bool = True
+    # "nothing" = recompute the whole block in backward (min memory);
+    # "dots" = save matmul outputs (jax.checkpoint_policies.dots_saveable):
+    # skips the GEMM recompute at ~3 GB extra activation memory for the full
+    # trunk at B=4/L=512 — use when HBM headroom allows (e.g. ZeRO-sharded
+    # optimizer states on multi-chip meshes).
+    remat_policy: str = "nothing"
     attn_backend: str = "auto"
     qkv_backend: str = "xla"  # "fused" = Pallas LN+QKV+QK-LN (ops/fused_qkv)
 
@@ -181,9 +188,11 @@ class TransformerStack(nn.Module):
             if cfg.scan_layers:
                 body = _ScanBlock
                 if cfg.remat:
+                    policy = (jax.checkpoint_policies.dots_saveable
+                              if cfg.remat_policy == "dots" else None)
                     body = nn.remat(
                         body, prevent_cse=False,
-                        static_argnums=(),
+                        static_argnums=(), policy=policy,
                     )
                 blocks = nn.scan(
                     body,
