@@ -22,3 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the compile-heavy slow-marked modules reuse
+# executables across runs (first full run populates ~/.cache, repeats are
+# several times faster).
+from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
