@@ -45,6 +45,18 @@ class ESMProtein:
         coords[prot.atom_mask < 0.5] = np.nan
         return cls(sequence=prot.sequence, coordinates=coords)
 
+    @classmethod
+    def from_npz(cls, path: str | Path):
+        """Load a curation-pipeline chain (cli/preprocess.py npz layout:
+        sequence, atom_positions, atom_mask) — the equivalent of the
+        reference dump's pickled-chain input mode
+        (scripts/dump.py:29-44,97-98)."""
+        with np.load(path) as z:
+            coords = z["atom_positions"].astype(np.float32).copy()
+            coords[z["atom_mask"] < 0.5] = np.nan
+            seq = str(z["sequence"])
+        return cls(sequence=seq, coordinates=coords)
+
     def to_pdb(self, path: str | Path):
         prot = self.to_protein()
         protein_io.to_pdb_file(prot, path)

@@ -18,7 +18,9 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description="Dump ESM3 encodings for training.")
     p.add_argument("input_dir", type=str,
-                   help="Directory of .pdb files (one chain each).")
+                   help="Directory of per-chain .pdb files and/or .npz "
+                        "chains from cli/preprocess (the reference dump's "
+                        "pdb/pkl input modes, scripts/dump.py:82-98).")
     p.add_argument("output_dir", type=str)
     p.add_argument("--ckpt", type=str, default=None,
                    help="Converted/orbax runtime checkpoint; None = random "
@@ -53,7 +55,8 @@ def main(argv=None):
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    files = sorted(Path(args.input_dir).glob("*.pdb"))
+    files = sorted(Path(args.input_dir).glob("*.pdb")) + sorted(
+        Path(args.input_dir).glob("*.npz"))
     print(f"[dump] {len(files)} chains -> {out_dir}")
 
     trunk_fwd = None
@@ -67,7 +70,8 @@ def main(argv=None):
     n_ok = 0
     for f in files:
         try:
-            prot = ESMProtein.from_pdb(f)
+            prot = (ESMProtein.from_npz(f) if f.suffix == ".npz"
+                    else ESMProtein.from_pdb(f))
             pt = runtime.encode(prot)
             arrays = {
                 "sequence_tokens": pt.sequence.astype(np.int32),

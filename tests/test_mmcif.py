@@ -153,3 +153,28 @@ def test_filter_metadata(bpti, tmp_path):
     # oligomeric='' disables that filter
     kept_all = filter_metadata(out_dir / "metadata.csv", None, oligomeric="")
     assert len(kept_all) == 2
+
+
+@pytest.mark.slow
+def test_preprocess_to_dump_pipeline(bpti, tmp_path):
+    """Full curation->encoding pipeline: mmCIF -> preprocess npz chains ->
+    dump encodings (the reference's preprocess.py -> dump.py pkl flow,
+    scripts/dump.py:82-98) without an intermediate PDB conversion."""
+    from esmdiff_tpu.cli.dump import main as dump_main
+    from esmdiff_tpu.cli.preprocess import main as preprocess_main
+
+    in_dir = tmp_path / "cif"
+    chains = tmp_path / "chains"
+    enc = tmp_path / "enc"
+    in_dir.mkdir()
+    (in_dir / "ok.cif").write_text(protein_to_mmcif(bpti, resolution=1.8))
+    preprocess_main([str(in_dir), str(chains)])
+    assert sorted(chains.glob("*.npz"))
+
+    dump_main([str(chains), str(enc), "--model_scale", "tiny"])
+    files = sorted(enc.glob("*.npz"))
+    assert len(files) == 1
+    with np.load(files[0]) as z:
+        assert z["sequence_tokens"].shape[0] == len(bpti.sequence) + 2
+        assert (z["structure_tokens"][1:-1] < 4096).all()
+        assert "coordinates" in z.files
