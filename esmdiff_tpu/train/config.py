@@ -94,6 +94,10 @@ class TrainerConfig:
     overfit_batches: int = 0      # repeat N batches (debug/overfit.yaml)
     limit_batches: float = 1.0    # fraction of batches (debug/limit.yaml)
     check_nans: bool = False      # detect_anomaly analogue (jax debug_nans)
+    # Lightning profiler analogue (reference configs/debug/profiler.yaml):
+    # >0 = capture a jax.profiler trace of that many train steps to
+    # <ckpt_dir>/profile (view with tensorboard/xprof)
+    profile_steps: int = 0
     multihost: bool = False       # jax.distributed.initialize() on launch
     # experiment-tracking backend: csv (built-in) | tensorboard | wandb
     # (reference configs/logger/, train.yaml:10)

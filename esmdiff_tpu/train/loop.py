@@ -266,6 +266,7 @@ def train(cfg: TrainConfig) -> dict:
     epochs_no_improve = 0
     global_step = int(jax.device_get(state.step))
     stop = False
+    profiling = False
 
     overfit_cache: Optional[list] = None
     for epoch in range(cfg.trainer.max_epochs):
@@ -294,7 +295,18 @@ def train(cfg: TrainConfig) -> dict:
                 break
             key, k = jax.random.split(key)
             batch = pmesh.shard_batch(batch, mesh)
+            # profiler window (reference debug/profiler.yaml analogue):
+            # trace steps [1, profile_steps] — step 0 is compile
+            if cfg.trainer.profile_steps > 0 and global_step == 1:
+                jax.profiler.start_trace(str(run_dir / "profile"))
+                profiling = True
             state, metrics = train_step(state, batch, k)
+            if profiling and global_step >= cfg.trainer.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[profile] trace of steps 1..{global_step} -> "
+                      f"{run_dir / 'profile'}")
             global_step += 1
             n_seen += 1
             if global_step % cfg.trainer.log_every_n_steps == 0 or \
@@ -337,6 +349,8 @@ def train(cfg: TrainConfig) -> dict:
         if cfg.trainer.fast_dev_run:
             break
 
+    if profiling:  # run ended inside the trace window
+        jax.profiler.stop_trace()
     wall = time.time() - t0
     print(f"[done] best val/loss {best_val:.4f} in {wall:.1f}s "
           f"({global_step} steps)")

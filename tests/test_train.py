@@ -130,3 +130,22 @@ def test_config_yaml_and_overrides(tmp_path):
     assert cfg.model.size == "tiny"
     with pytest.raises(KeyError):
         load_config(str(y), ["nonexistent.key=1"])
+
+
+def test_train_profiler_window(corpus, tmp_path):
+    """trainer.profile_steps captures a jax.profiler trace of the first N
+    steps (reference configs/debug/profiler.yaml analogue)."""
+    from esmdiff_tpu.train.loop import train
+
+    cfg = load_config(None, [
+        f"data.path={corpus}", "data.batch_size=2", "data.max_len=32",
+        "data.bucket_multiple=16",
+        "model.size=tiny", "model.dtype=float32", "model.remat=false",
+        "trainer.max_epochs=1", "trainer.profile_steps=2",
+        f"trainer.ckpt_dir={tmp_path}/run",
+    ])
+    result = train(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    prof = tmp_path / "run" / "profile"
+    traces = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace*"))
+    assert traces, f"no profiler artifacts under {prof}"
