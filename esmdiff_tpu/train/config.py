@@ -99,6 +99,10 @@ class TrainerConfig:
     # <ckpt_dir>/profile (view with tensorboard/xprof)
     profile_steps: int = 0
     multihost: bool = False       # jax.distributed.initialize() on launch
+    # sharding strategy over the data mesh (reference configs/trainer/:
+    # ddp.yaml = ddp, deepspeed.yaml stage 2 = zero2; fsdp = ZeRO-3,
+    # params+moments sharded — the 1.4B fine-tune memory envelope)
+    strategy: str = "zero2"
     # experiment-tracking backend: csv (built-in) | tensorboard | wandb
     # (reference configs/logger/, train.yaml:10)
     logger: str = "csv"

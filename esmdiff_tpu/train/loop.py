@@ -230,12 +230,12 @@ def train(cfg: TrainConfig) -> dict:
     optimizer = tstate.make_optimizer(
         lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
         warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
-    state = tstate.create_train_state(params, optimizer)
 
     mesh = pmesh.make_data_mesh_for_batch(cfg.data.batch_size)
-    print(f"[mesh] data axis over {mesh.devices.size} device(s)")
-    shardings = tstate.state_shardings(state, mesh)
-    state = jax.device_put(state, shardings)
+    print(f"[mesh] data axis over {mesh.devices.size} device(s), "
+          f"strategy={cfg.trainer.strategy}")
+    state = tstate.create_sharded_train_state(
+        params, optimizer, mesh, strategy=cfg.trainer.strategy)
 
     def loss_fn(p, b, k):
         return loss_fn_t(p, b, k)

@@ -53,13 +53,54 @@ def create_train_state(params, optimizer) -> TrainState:
     )
 
 
-def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
-    """Params replicated; optimizer moments ZeRO-sharded on ``data``."""
-    return TrainState(
-        step=pmesh.replicated(mesh),
-        params=pmesh.replicated_shardings(state.params, mesh),
-        opt_state=pmesh.zero_shardings(state.opt_state, mesh),
-    )
+def state_shardings(state: TrainState, mesh: Mesh,
+                    strategy: str = "zero2") -> TrainState:
+    """Sharding pytree for a TrainState (accepts concrete arrays or
+    eval_shape structs).
+
+    - ``ddp``:   params + moments replicated (reference configs/trainer/ddp.yaml)
+    - ``zero2``: params replicated, moments sharded on ``data``
+      (reference deepspeed_stage_2, configs/trainer/deepspeed.yaml:6)
+    - ``fsdp``:  params AND moments sharded on ``data`` (ZeRO-3; beyond the
+      reference — the memory envelope needed to fine-tune the 1.4B trunk on
+      HBM-constrained slices, parallel/fsdp.py)
+    """
+    if strategy == "ddp":
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=pmesh.replicated_shardings(state.params, mesh),
+            opt_state=pmesh.replicated_shardings(state.opt_state, mesh),
+        )
+    if strategy == "zero2":
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=pmesh.replicated_shardings(state.params, mesh),
+            opt_state=pmesh.zero_shardings(state.opt_state, mesh),
+        )
+    if strategy == "fsdp":
+        from esmdiff_tpu.parallel import fsdp
+
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=fsdp.fsdp_shardings(state.params, mesh),
+            opt_state=fsdp.fsdp_shardings(state.opt_state, mesh),
+        )
+    raise ValueError(f"unknown strategy: {strategy!r} (ddp | zero2 | fsdp)")
+
+
+def create_sharded_train_state(params, optimizer, mesh: Mesh,
+                               strategy: str = "zero2") -> TrainState:
+    """Build the TrainState with every leaf born on its target sharding —
+    the optimizer moments for the 1.4B trunk never materialize replicated
+    on one chip (they are allocated under jit with out_shardings)."""
+    shapes = jax.eval_shape(lambda p: create_train_state(p, optimizer),
+                            params)
+    shardings = state_shardings(shapes, mesh, strategy=strategy)
+    state = jax.jit(
+        lambda p: create_train_state(p, optimizer),
+        out_shardings=shardings,
+    )(params)
+    return state
 
 
 def make_train_step(loss_fn: Callable, optimizer,

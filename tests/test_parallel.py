@@ -90,6 +90,116 @@ def test_tp_forward_matches_replicated():
                                atol=5e-4, rtol=1e-4)
 
 
+def test_fsdp_sharding_rules():
+    from esmdiff_tpu.parallel import fsdp
+
+    mesh = pmesh.make_mesh()
+    # stacked scan leaf: never shard the layer axis, pick largest trailing
+    s = fsdp.fsdp_sharding_for(np.zeros((3, 64, 192)), mesh)
+    assert s.spec == jax.sharding.PartitionSpec(None, None, pmesh.DATA_AXIS)
+    # embedding: largest divisible axis
+    s = fsdp.fsdp_sharding_for(np.zeros((4101, 64)), mesh)
+    assert s.spec == jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+    # small leaves replicated
+    s = fsdp.fsdp_sharding_for(np.zeros((64,)), mesh)
+    assert all(x is None for x in s.spec)
+    # indivisible dims replicated
+    s = fsdp.fsdp_sharding_for(np.zeros((4101, 63)), mesh,
+                               min_size=1)
+    assert all(x is None for x in s.spec)
+
+
+def test_fsdp_train_step_matches_ddp():
+    """One FSDP (ZeRO-3) step must produce the same loss and updated params
+    as the replicated (ddp) step — sharding is a layout, not a math change."""
+    from esmdiff_tpu.train import state as tstate
+
+    mdlm, params = _tiny_mdlm()
+    optimizer = tstate.make_optimizer(lr=1e-3)
+    mesh = pmesh.make_mesh()
+
+    B, L = 8, 16
+    rng = np.random.RandomState(0)
+    batch = {
+        "structure_tokens": jnp.asarray(
+            rng.randint(0, 4096, (B, L)), jnp.int32),
+        "sequence_tokens": jnp.full((B, L), 5, jnp.int32),
+        "mask": jnp.ones((B, L), jnp.float32),
+    }
+
+    def loss_fn(p, b, k):
+        return mdlm.loss(p, b, k)
+
+    results = {}
+    for strategy in ("ddp", "fsdp"):
+        state = tstate.create_sharded_train_state(
+            params, optimizer, mesh, strategy=strategy)
+        if strategy == "fsdp":
+            n_sharded = sum(
+                1 for leaf in jax.tree.leaves(state.params)
+                if any(s is not None for s in leaf.sharding.spec))
+            assert n_sharded > 0, "fsdp sharded no param leaves"
+        sbatch = pmesh.shard_batch(batch, mesh)
+        step = tstate.make_train_step(loss_fn, optimizer, mesh=mesh,
+                                      donate=False)
+        state2, metrics = step(state, sbatch, jax.random.PRNGKey(1))
+        results[strategy] = (
+            float(metrics["loss"]),
+            jax.device_get(
+                jax.tree.leaves(state2.params)[0]),
+        )
+        if strategy == "fsdp":
+            # updated params must KEEP their fsdp sharding (no silent
+            # re-replication step over step)
+            still = sum(
+                1 for leaf in jax.tree.leaves(state2.params)
+                if any(s is not None for s in leaf.sharding.spec))
+            assert still == n_sharded
+
+    np.testing.assert_allclose(results["fsdp"][0], results["ddp"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results["fsdp"][1], results["ddp"][1],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ring_attention_matches_xla():
+    """Sequence-parallel ring attention (K/V ppermute ring, online softmax)
+    must equal the single-device XLA attention, including padded rows."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from esmdiff_tpu.nn.attention import dot_product_attention
+    from esmdiff_tpu.parallel import ring
+
+    B, L, H, Dh = 2, 64, 2, 16
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, L, H, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, H, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, H, Dh), jnp.float32)
+    lengths = jnp.asarray([64, 37], jnp.int32)
+
+    ref = dot_product_attention(q, k, v, lengths=lengths, backend="xla")
+
+    mesh = Mesh(np.asarray(jax.devices()), (ring.SEQ_AXIS,))
+    spec = NamedSharding(mesh, P(None, ring.SEQ_AXIS, None, None))
+    q_s, k_s, v_s = (jax.device_put(x, spec) for x in (q, k, v))
+    out = ring.ring_attention(q_s, k_s, v_s, lengths, mesh=mesh)
+    # output stays length-sharded (no hidden re-replication)
+    assert out.sharding.spec[1] == ring.SEQ_AXIS
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+    # no-lengths path (all rows fully valid)
+    ref2 = dot_product_attention(q, k, v, backend="xla")
+    out2 = ring.ring_attention(q_s, k_s, v_s, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=1e-5)
+
+    # indivisible L rejected
+    with pytest.raises(ValueError):
+        ring.ring_attention(q_s[:, :63], k_s[:, :63], v_s[:, :63],
+                            mesh=mesh)
+
+
 def test_tp_train_step():
     """Full training step on a 2x4 (data x model) mesh."""
     import optax
