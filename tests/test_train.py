@@ -120,6 +120,38 @@ def test_overfit_mode_reduces_loss(corpus, tmp_path):
     assert result["best_val_loss"] < 8.0
 
 
+@pytest.mark.slow
+def test_train_loop_fsdp_strategy(corpus, tmp_path):
+    """End-to-end train with trainer.strategy=fsdp on the 8-device mesh:
+    params+moments born sharded, orbax checkpoint round-trips the sharded
+    state, resume restores it."""
+    import json
+
+    from esmdiff_tpu.train.loop import train
+
+    common = [
+        f"data.path={corpus}", "data.batch_size=8", "data.max_len=24",
+        "data.bucket_multiple=8",
+        "model.size=tiny", "model.dtype=float32", "model.remat=false",
+        "trainer.strategy=fsdp", "trainer.log_every_n_steps=1",
+    ]
+    cfg = load_config(None, common + [
+        "trainer.max_epochs=1", f"trainer.ckpt_dir={tmp_path}/run",
+    ])
+    result = train(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    ckpt_dir = tmp_path / "run" / "ckpt"
+    best_entry = json.loads((ckpt_dir / "index.json").read_text())[0]
+
+    cfg2 = load_config(None, common + [
+        "trainer.max_epochs=1", "trainer.fast_dev_run=true",
+        f"trainer.ckpt_dir={tmp_path}/run2",
+        f"trainer.resume={best_entry['path']}",
+    ])
+    result2 = train(cfg2)
+    assert result2["steps"] == best_entry["step"] + 1
+
+
 def test_config_yaml_and_overrides(tmp_path):
     y = tmp_path / "exp.yaml"
     y.write_text("task_name: test\noptim:\n  lr: 3.0e-4\n")
