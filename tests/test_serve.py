@@ -1,0 +1,124 @@
+"""Warm sampling server (cli/serve.py): HTTP surface + request handling."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from esmdiff_tpu.api.generation import EnsembleSampler
+from esmdiff_tpu.api.protein_api import ESM3Runtime
+from esmdiff_tpu.cli.serve import SamplerService, serve
+from esmdiff_tpu.models.esm3 import esm3_tiny
+from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+pytestmark = pytest.mark.slow  # compile-heavy (tiny trunk sampling programs)
+
+BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+
+
+@pytest.fixture(scope="module")
+def server():
+    runtime = ESM3Runtime.random_init(
+        seed=0,
+        trunk_cfg=esm3_tiny(dtype="float32", head_type="esm3"),
+        encoder_cfg=EncoderConfig(d_model=32, n_heads=2, v_heads=4,
+                                  n_layers=2, d_out=8, knn=8),
+        decoder_cfg=DecoderConfig(d_model=32, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+        with_sigma_embedder=False,
+    )
+    service = SamplerService(EnsembleSampler(runtime), max_samples=16)
+    httpd = serve(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", service
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=600) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    status, body = _get(base + "/healthz")
+    assert status == 200 and body["ok"]
+    assert "device" in body and body["model"]["n_layers"] >= 1
+
+
+def test_sample_tokens_and_pdb(server):
+    base, service = server
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"  # 33 residues
+    status, body = _post(base + "/sample", {
+        "sequence": seq, "num_samples": 2, "mode": "gibbs",
+        "num_steps": 2, "format": "tokens"})
+    assert status == 200, body
+    toks = np.asarray(body["tokens"])
+    assert toks.shape == (2, len(seq)) and (toks < 4096).all()
+
+    # same bucket again -> served from the warm jit cache (no recompile)
+    n_buckets = len(service.sampler._gibbs_jit_cache)
+    status, body2 = _post(base + "/sample", {
+        "sequence": seq, "num_samples": 2, "mode": "gibbs",
+        "num_steps": 2, "seed": 7, "format": "tokens"})
+    assert status == 200
+    assert len(service.sampler._gibbs_jit_cache) == n_buckets
+
+    status, body3 = _post(base + "/sample", {
+        "sequence": seq, "num_samples": 2, "mode": "gibbs",
+        "num_steps": 2, "format": "pdb"})
+    assert status == 200
+    assert body3["pdb"].count("MODEL") == 2 and "ENDMDL" in body3["pdb"]
+
+    status, health = _get(base + "/healthz")
+    assert health["requests_served"] >= 3
+
+
+def test_inpainting_via_pdb_prior(server):
+    base, _ = server
+    pdb_text = open(BPTI).read()
+    status, body = _post(base + "/sample", {
+        "pdb": pdb_text, "num_samples": 1, "mode": "gibbs",
+        "num_steps": 2, "mask_ids": [3, 4, 5], "format": "tokens"})
+    assert status == 200, body
+    assert len(body["tokens"][0]) == 58  # BPTI length from the prior
+
+
+def test_warmup_endpoint(server):
+    base, service = server
+    status, body = _post(base + "/warmup", {
+        "lengths": [40], "num_samples": 2, "mode": "gibbs", "num_steps": 2})
+    assert status == 200, body
+    assert "40" in body["warmed"]
+    # bucket(40+2 specials) = 64-padded program is now resident
+    assert any(k[1] == 64 for k in service.sampler._gibbs_jit_cache)
+
+
+def test_request_errors(server):
+    base, _ = server
+    for payload, frag in [
+        ({}, "sequence"),
+        ({"sequence": "MKT", "mode": "nope"}, "mode"),
+        ({"sequence": "MKT", "num_samples": 99}, "num_samples"),
+        ({"sequence": "MKT", "mask_ids": [99]}, "out of range"),
+        ({"sequence": "MKT", "format": "xml"}, "format"),
+    ]:
+        status, body = _post(base + "/sample", payload)
+        assert status == 400 and frag in body["error"], (payload, body)
+    status, body = _post(base + "/nope", {})
+    assert status == 404
