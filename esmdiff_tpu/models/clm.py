@@ -66,15 +66,23 @@ class RMSNorm(nn.Module):
 
 def relative_position_bucket(rel, bidirectional: bool, num_buckets: int,
                              max_distance: int):
-    """T5 bucketing of relative positions (memory_pos - query_pos)."""
+    """T5 bucketing of relative positions.
+
+    ``rel`` is query_pos - key_pos; HF buckets on memory_pos - context_pos
+    = -rel: bidirectional puts future keys (-rel > 0) in the upper table
+    half, causal buckets past keys by distance max(rel, 0).  Direction
+    parity with the upstream torch implementation is pinned by
+    tests/test_convert_hf_oracle.py (a sign flip here swaps the two
+    bidirectional table halves and zeroes every causal bucket).
+    """
     ret = 0
     n = -rel
     if bidirectional:
         num_buckets //= 2
-        ret += (n < 0).astype(jnp.int32) * num_buckets
+        ret += (n > 0).astype(jnp.int32) * num_buckets
         n = jnp.abs(n)
     else:
-        n = jnp.maximum(n, 0)
+        n = jnp.maximum(-n, 0)
     max_exact = num_buckets // 2
     is_small = n < max_exact
     val_if_large = max_exact + (

@@ -61,7 +61,7 @@ class GPT2Block(nn.Module):
         cfg = self.cfg
         dense = lambda feat, name: nn.Dense(
             feat, dtype=cfg.jnp_dtype, param_dtype=jnp.float32, name=name)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(cfg.jnp_dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(cfg.jnp_dtype)
         B, Lq, _ = h.shape
         qkv = dense(3 * cfg.n_embd, "qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -83,7 +83,7 @@ class GPT2Block(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, Lq, cfg.n_embd)
         x = x + dense(cfg.n_embd, "attn_out")(o)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(cfg.jnp_dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(cfg.jnp_dtype)
         h = dense(4 * cfg.n_embd, "mlp_up")(h)
         h = nn.gelu(h)
         x = x + dense(cfg.n_embd, "mlp_down")(h)
@@ -118,7 +118,7 @@ class JLM(nn.Module):
                                         (cfg.n_embd,), jnp.float32)
         self.blocks = [GPT2Block(cfg, name=f"block{i}")
                        for i in range(cfg.n_layers)]
-        self.ln_f = nn.LayerNorm(dtype=jnp.float32, name="ln_f")
+        self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")
         self.sequence_head = nn.Dense(cfg.seq_vocab, use_bias=False,
                                       dtype=cfg.jnp_dtype,
                                       param_dtype=jnp.float32,

@@ -61,13 +61,28 @@ def timed(cfg, B, L, tag):
           flush=True)
 
 
-for B, L in ((64, 64), (64, 128)):
-    timed(ESM3Config(head_type="structure", param_dtype="bfloat16",
-                     remat=False), B, L, "qkv=xla (baseline)")
-    timed(ESM3Config(head_type="structure", param_dtype="bfloat16",
-                     remat=False, qkv_backend="fused"), B, L, "qkv=fused")
+def main(argv=None):
+    import argparse
 
-for B, L in ((64, 256), (16, 512), (4, 1024)):
-    timed(ESM3Config(head_type="structure", param_dtype="bfloat16",
-                     remat=False, attn_backend="xla"), B, L,
-          "attn=xla (flash default now)")
+    p = argparse.ArgumentParser()
+    p.add_argument("--shapes", type=str, default="64x64,64x128",
+                   help="Comma-separated BxL pairs.")
+    p.add_argument("--qkv", type=str, default="xla,fused",
+                   help="qkv_backend values to compare.")
+    p.add_argument("--attn", type=str, default=None,
+                   help="Optional attn_backend override (xla|flash).")
+    args = p.parse_args(argv)
+
+    for pair in args.shapes.split(","):
+        B, L = (int(x) for x in pair.split("x"))
+        for qkv in args.qkv.split(","):
+            kw = dict(head_type="structure", param_dtype="bfloat16",
+                      remat=False, qkv_backend=qkv)
+            if args.attn:
+                kw["attn_backend"] = args.attn
+            timed(ESM3Config(**kw), B, L,
+                  f"qkv={qkv}" + (f" attn={args.attn}" if args.attn else ""))
+
+
+if __name__ == "__main__":
+    main()
