@@ -240,7 +240,7 @@ class ESM3(nn.Module):
                 param_dtype=cfg.jnp_param_dtype,
             )
 
-    def __call__(
+    def embed(
         self,
         structure_tokens=None,
         sequence_tokens=None,
@@ -252,10 +252,14 @@ class ESM3(nn.Module):
         per_res_plddt=None,
         structure_coords=None,
         chain_id=None,
-        sequence_id=None,
-        lengths=None,
         auxiliary_embeddings=None,
-    ) -> ESMOutput:
+    ):
+        """Everything before the transformer stack: track defaults,
+        structure/sequence special-token tying, affine construction, input
+        embedding sum, auxiliary (time-conditioning) add.  Returns
+        (x, affine, affine_mask, chain_id, skip_geom) — split out so
+        parallel/pp.py can run the stack pipelined while reusing this exact
+        front end (applied with ``method=ESM3.embed``)."""
         ref = next(
             t for t in (sequence_tokens, structure_tokens, ss8_tokens,
                         sasa_tokens, structure_coords)
@@ -322,6 +326,41 @@ class ESM3(nn.Module):
         )
         if auxiliary_embeddings is not None:
             x = x + auxiliary_embeddings.astype(x.dtype)
+        return x, affine, affine_mask, chain_id, skip_geom
+
+    def heads(self, x, embedding) -> ESMOutput:
+        """Output heads on (post-norm, pre-norm) states (pp back end)."""
+        return self.output_heads(x, embedding)
+
+    def __call__(
+        self,
+        structure_tokens=None,
+        sequence_tokens=None,
+        ss8_tokens=None,
+        sasa_tokens=None,
+        function_tokens=None,
+        residue_annotation_tokens=None,
+        average_plddt=None,
+        per_res_plddt=None,
+        structure_coords=None,
+        chain_id=None,
+        sequence_id=None,
+        lengths=None,
+        auxiliary_embeddings=None,
+    ) -> ESMOutput:
+        x, affine, affine_mask, chain_id, skip_geom = self.embed(
+            structure_tokens=structure_tokens,
+            sequence_tokens=sequence_tokens,
+            ss8_tokens=ss8_tokens,
+            sasa_tokens=sasa_tokens,
+            function_tokens=function_tokens,
+            residue_annotation_tokens=residue_annotation_tokens,
+            average_plddt=average_plddt,
+            per_res_plddt=per_res_plddt,
+            structure_coords=structure_coords,
+            chain_id=chain_id,
+            auxiliary_embeddings=auxiliary_embeddings,
+        )
         x, embedding = self.transformer(
             x, sequence_id, affine, affine_mask, chain_id,
             skip_geom=skip_geom, lengths=lengths,

@@ -1,0 +1,208 @@
+"""Pipeline parallelism: GPipe-style stage sharding of the scanned block stack.
+
+The reference has no pipeline parallelism (its only strategies are DDP and
+ZeRO-2, SURVEY.md §2b); this is the TPU-idiomatic completion of the
+parallelism matrix for chips whose HBM cannot hold the full 1.4B trunk even
+with FSDP's per-layer all-gathers.  Design:
+
+  - the trunk's 47 scanned blocks already live as ONE stacked param pytree
+    (leaves shaped (n_rest, ...), models/esm3.py nn.scan) — pipeline sharding
+    is simply ``PartitionSpec('stage')`` on that leading axis: each device
+    materializes only ``n_rest / S`` layers, with NO per-layer weight
+    collectives at all (unlike FSDP);
+  - inside ``jax.shard_map`` each stage runs a local ``lax.scan`` over its
+    layer slice; activations hand off to the next stage via
+    ``jax.lax.ppermute`` (neighbor exchange over ICI);
+  - the batch is split into M microbatches; the classic GPipe schedule runs
+    S + M - 1 ticks, so bubble fraction = (S-1)/(S+M-1);
+  - layer counts that don't divide the stage count (the real trunk's scanned
+    stack is 47 layers — prime) are padded with inert zero layers skipped by
+    a validity mask, so any stage count works;
+  - reverse-mode AD differentiates straight through (ppermute transposes to
+    the inverse permutation), giving the backward pipeline for free — one
+    optimizer step under ``jax.jit`` trains with stage-sharded weights
+    (pinned by tests/test_pp.py grad-parity and the driver dryrun).
+
+Forward parity with the unpipelined stack is exact up to fp reassociation
+(tests/test_pp.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STAGE_AXIS = "stage"
+
+
+def pipeline_stack(block_fn: Callable, stacked_params, x, *,
+                   mesh: Mesh, n_microbatches: int,
+                   bcast: Sequence = (), per_example: Sequence = (),
+                   axis_name: str = STAGE_AXIS):
+    """Apply ``n_total`` stacked layers to ``x`` with the layer axis sharded
+    over ``axis_name`` (GPipe schedule).
+
+    block_fn(params_one_layer, h, *bcast, *per_example_mb) -> h: one block,
+        given the layer's param subtree (a pytree with UNstacked leaves).
+    stacked_params: pytree, leaves (n_total, ...); n_total must divide by the
+        stage-axis size.  Shard with ``stage_shardings`` before calling (a
+        replicated input works too — shard_map slices it).
+    x: (B, ...) activations, replicated; B must divide by n_microbatches.
+    bcast: batch-independent arrays every stage needs whole (rotary tables,
+        masks).  per_example: (B, ...) arrays sliced per microbatch and routed
+        to whichever stage is processing that microbatch (e.g. ``lengths``).
+    Both are explicit arguments because shard_map must see every traced value
+    in its in_specs.
+
+    Returns (B, ...) outputs, replicated across stages.
+    """
+    S = mesh.shape[axis_name]
+    B = x.shape[0]
+    n_total = jax.tree.leaves(stacked_params)[0].shape[0]
+    if B % n_microbatches != 0:
+        raise ValueError(f"batch {B} not divisible by M={n_microbatches}")
+    # The real trunk has 47 scanned layers (prime): pad the stack to a
+    # multiple of S with inert zero layers and skip them with a validity
+    # mask, so any stage count works.  Padded layers still execute (bubble
+    # work) but their output is discarded; zero params are numerically safe
+    # through LN/attention/FFN (uniform softmax, zero deltas).
+    n_pad = (-n_total) % S
+    if n_pad:
+        stacked_params = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_pad, *a.shape[1:]), a.dtype)]),
+            stacked_params)
+    n_loc = (n_total + n_pad) // S
+    M = n_microbatches
+    mb = B // M
+    bcast = tuple(bcast)
+    per_example = tuple(per_example)
+    n_bc = len(bcast)
+
+    def local_fn(params_loc, x_full, *rest):
+        bc, pe = rest[:n_bc], rest[n_bc:]
+        s = jax.lax.axis_index(axis_name)
+        xs = x_full.reshape(M, mb, *x_full.shape[1:])
+        pes = tuple(p.reshape(M, mb, *p.shape[1:]) for p in pe)
+        perm = [(j, (j + 1) % S) for j in range(S)]
+        layer_idx = s * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+
+        def run_local(h, pe_mb):
+            def body(h, pi):
+                p, i = pi
+                h2 = block_fn(p, h, *bc, *pe_mb)
+                return jnp.where(i < n_total, h2, h), None
+            h, _ = jax.lax.scan(body, h, (params_loc, layer_idx))
+            return h
+
+        def tick(carry, t):
+            state, outs = carry
+            # stage s is processing microbatch t - s at this tick
+            my_mb = jnp.clip(t - s, 0, M - 1)
+            x_in = jax.lax.dynamic_index_in_dim(xs, jnp.clip(t, 0, M - 1),
+                                                0, keepdims=False)
+            pe_mb = tuple(
+                jax.lax.dynamic_index_in_dim(p, my_mb, 0, keepdims=False)
+                for p in pes)
+            h = jnp.where(s == 0, x_in, state)
+            h = run_local(h, pe_mb)
+            # the last stage has just finished microbatch t - (S-1)
+            out_idx = t - (S - 1)
+            valid = (out_idx >= 0) & (s == S - 1)
+            idx = jnp.clip(out_idx, 0, M - 1)
+            cur = jax.lax.dynamic_index_in_dim(outs, idx, 0, keepdims=False)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(valid, h, cur), idx, 0)
+            state = jax.lax.ppermute(h, axis_name, perm)
+            return (state, outs), None
+
+        carry = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs))
+        (state, outs), _ = jax.lax.scan(
+            tick, carry, jnp.arange(S + M - 1, dtype=jnp.int32))
+        # replicate the last stage's buffer to every stage
+        outs = jax.lax.psum(
+            jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), axis_name)
+        return outs.reshape(x_full.shape)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(axis_name), stacked_params), P())
+                 + tuple(P() for _ in bcast + per_example),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(stacked_params, x, *bcast, *per_example)
+
+
+def stage_shardings(params, mesh: Mesh, axis_name: str = STAGE_AXIS):
+    """NamedShardings placing the stacked-layer axis on the stage axis."""
+    spec = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda _: spec, params)
+
+
+def esm3_pp_forward(net, params, mesh: Mesh, n_microbatches: int, *,
+                    structure_tokens=None, sequence_tokens=None,
+                    lengths=None, auxiliary_embeddings=None,
+                    axis_name: str = STAGE_AXIS):
+    """ESM3 trunk forward with the scanned stack pipelined over ``mesh``.
+
+    Front end (track defaults, token tying, embedding sum) and back end
+    (block 0, final norm, output heads) run replicated via the model's own
+    ``embed``/submodule applies; only the 47-block scan is stage-sharded.
+    Covers the MDLM regime (no input coordinates -> geometric attention
+    statically skipped).  Returns the same ESMOutput as ``net.apply``.
+    """
+    from esmdiff_tpu.models.esm3 import (  # local import: avoid a cycle
+        ESM3,
+        TransformerBlock,
+        _ScanBlock,
+    )
+    from esmdiff_tpu.nn.layers import LayerNorm
+    from esmdiff_tpu.nn.rotary import rotary_tables
+
+    cfg = net.cfg
+    assert cfg.scan_layers, "pp requires the scanned stack"
+    x, affine, affine_mask, chain_id, skip_geom = net.apply(
+        {"params": params},
+        structure_tokens=structure_tokens,
+        sequence_tokens=sequence_tokens,
+        auxiliary_embeddings=auxiliary_embeddings,
+        method=ESM3.embed,
+    )
+    assert skip_geom, "esm3_pp_forward covers the no-coordinates regime"
+    L = x.shape[1]
+    rot_cos, rot_sin = rotary_tables(
+        L, cfg.d_model // cfg.n_heads, dtype=jnp.float32)
+    sequence_id = None
+    if lengths is not None:
+        sequence_id = (jnp.arange(L)[None, :] < lengths[:, None]).astype(
+            jnp.int32)
+
+    tp = params["transformer"]
+    block0 = TransformerBlock(cfg, use_geom_attn=True)
+    x = block0.apply({"params": tp["block0"]}, x, rot_cos, rot_sin, None,
+                     lengths, affine, affine_mask, sequence_id, chain_id,
+                     skip_geom=True)
+
+    scan_block = _ScanBlock(cfg)
+
+    def block_fn(p, h, rc, rs, ln):
+        out, _ = scan_block.apply({"params": p}, h, rc, rs, None, ln)
+        return out
+
+    if cfg.remat:
+        block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+    if lengths is None:
+        B = x.shape[0]
+        lengths = jnp.full((B,), L, jnp.int32)
+    x = pipeline_stack(block_fn, tp["blocks"], x, mesh=mesh,
+                       n_microbatches=n_microbatches,
+                       bcast=(rot_cos, rot_sin), per_example=(lengths,),
+                       axis_name=axis_name)
+
+    pre_norm = x
+    x = LayerNorm().apply({"params": tp["norm"]}, x)
+    return net.apply({"params": params}, x, pre_norm, method=ESM3.heads)
