@@ -38,7 +38,16 @@ class ESMProtein:
 
     @classmethod
     def from_pdb(cls, path: str | Path, chain_id: str | None = None):
-        prot = protein_io.from_pdb_file(path, chain_id=chain_id)
+        return cls._from_parsed(
+            protein_io.from_pdb_file(path, chain_id=chain_id))
+
+    @classmethod
+    def from_pdb_string(cls, pdb_str: str, chain_id: str | None = None):
+        return cls._from_parsed(
+            protein_io.from_pdb_string(pdb_str, chain_id=chain_id))
+
+    @classmethod
+    def _from_parsed(cls, prot):
         if isinstance(prot, list):
             prot = prot[0]
         coords = prot.atom_positions.copy()

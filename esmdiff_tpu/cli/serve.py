@@ -47,8 +47,17 @@ class RequestError(ValueError):
 
 
 _VALID_MODES = ("gibbs", "ddpm", "eb")
-# residues the sequence tokenizer accepts, plus '_' (mask)
 _MAX_SEQ_LEN = 2048
+
+
+def _valid_residues() -> frozenset:
+    """Characters the sequence tokenizer accepts (single-char vocab entries
+    are the residue alphabet), plus '_' (mask).  Anything else would be
+    silently encoded as UNK — reject it at the API boundary instead."""
+    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+
+    return frozenset(
+        t for t in SequenceTokenizer.vocab if len(t) == 1) | {"_"}
 
 
 class SamplerService:
@@ -70,11 +79,11 @@ class SamplerService:
             "device": str(jax.devices()[0]),
             "model": {"d_model": cfg.d_model, "n_layers": cfg.n_layers,
                       "head_type": cfg.head_type},
+            # list() snapshots atomically under the GIL: /healthz runs
+            # without the device lock while /sample threads insert buckets
             "warm_buckets": {
-                "ddpm": sorted(str(k) for k in
-                               self.sampler._ddpm_jit_cache),
-                "gibbs": sorted(str(k) for k in
-                                self.sampler._gibbs_jit_cache),
+                "ddpm": sorted(map(str, list(self.sampler._ddpm_jit_cache))),
+                "gibbs": sorted(map(str, list(self.sampler._gibbs_jit_cache))),
             },
             "requests_served": self._n_requests,
         }
@@ -91,9 +100,20 @@ class SamplerService:
         if len(seq) > _MAX_SEQ_LEN:
             raise RequestError(f"sequence too long ({len(seq)} > "
                                f"{_MAX_SEQ_LEN})")
+        bad_chars = set(seq) - _valid_residues()
+        if bad_chars:
+            raise RequestError(
+                f"invalid residue characters: {sorted(bad_chars)}")
         mode = req.get("mode", "gibbs")
         if mode not in _VALID_MODES:
             raise RequestError(f"mode must be one of {_VALID_MODES}")
+        if mode == "ddpm" and (
+                self.sampler.runtime.trunk.cfg.head_type != "structure"
+                or self.sampler.runtime.sigma_params is None):
+            raise RequestError(
+                "this server's model cannot run ddpm (it was loaded with the "
+                "stock esm3 head / no sigma embedder — start with a "
+                "fine-tuned --ckpt or --mode ddpm to serve ddpm)")
         n = int(req.get("num_samples", 10))
         if not 1 <= n <= self.max_samples:
             raise RequestError(f"num_samples must be in [1, "
@@ -182,14 +202,8 @@ class SamplerService:
 
 def _protein_from_pdb_text(text: str):
     from esmdiff_tpu.api.protein_api import ESMProtein
-    from esmdiff_tpu.core.protein import from_pdb_string
 
-    prot = from_pdb_string(text)
-    if isinstance(prot, list):
-        prot = prot[0]
-    coords = prot.atom_positions.copy()
-    coords[prot.atom_mask < 0.5] = np.nan
-    return ESMProtein(sequence=prot.sequence, coordinates=coords)
+    return ESMProtein.from_pdb_string(text)
 
 
 def make_handler(service: SamplerService):
@@ -218,6 +232,9 @@ def make_handler(service: SamplerService):
                 req = json.loads(self.rfile.read(n) or b"{}")
             except json.JSONDecodeError as e:
                 return self._reply(400, {"error": f"bad json: {e}"})
+            if not isinstance(req, dict):
+                return self._reply(
+                    400, {"error": "request body must be a JSON object"})
             try:
                 if self.path == "/sample":
                     self._reply(200, service.sample(req))

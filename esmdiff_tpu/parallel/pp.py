@@ -41,6 +41,7 @@ STAGE_AXIS = "stage"
 def pipeline_stack(block_fn: Callable, stacked_params, x, *,
                    mesh: Mesh, n_microbatches: int,
                    bcast: Sequence = (), per_example: Sequence = (),
+                   n_valid: int | None = None,
                    axis_name: str = STAGE_AXIS):
     """Apply ``n_total`` stacked layers to ``x`` with the layer axis sharded
     over ``axis_name`` (GPipe schedule).
@@ -56,26 +57,35 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
         to whichever stage is processing that microbatch (e.g. ``lengths``).
     Both are explicit arguments because shard_map must see every traced value
     in its in_specs.
+    n_valid: number of real layers when ``stacked_params`` was pre-padded
+        with :func:`pad_stack` (so stage-sharded storage divides evenly);
+        defaults to the full row count.
 
     Returns (B, ...) outputs, replicated across stages.
     """
     S = mesh.shape[axis_name]
     B = x.shape[0]
-    n_total = jax.tree.leaves(stacked_params)[0].shape[0]
+    n_rows = jax.tree.leaves(stacked_params)[0].shape[0]
+    n_total = n_rows if n_valid is None else n_valid
+    if not 0 < n_total <= n_rows:
+        raise ValueError(f"n_valid={n_total} out of range for {n_rows} rows")
     if B % n_microbatches != 0:
         raise ValueError(f"batch {B} not divisible by M={n_microbatches}")
     # The real trunk has 47 scanned layers (prime): pad the stack to a
     # multiple of S with inert zero layers and skip them with a validity
     # mask, so any stage count works.  Padded layers still execute (bubble
     # work) but their output is discarded; zero params are numerically safe
-    # through LN/attention/FFN (uniform softmax, zero deltas).
-    n_pad = (-n_total) % S
+    # through LN/attention/FFN (uniform softmax, zero deltas).  Callers that
+    # want the stack STORED stage-sharded pad up front with ``pad_stack``
+    # (device_put cannot shard a 47-row axis 8 ways); replicated inputs are
+    # padded here on the fly.
+    n_pad = (-n_rows) % S
     if n_pad:
         stacked_params = jax.tree.map(
             lambda a: jnp.concatenate(
                 [a, jnp.zeros((n_pad, *a.shape[1:]), a.dtype)]),
             stacked_params)
-    n_loc = (n_total + n_pad) // S
+    n_loc = (n_rows + n_pad) // S
     M = n_microbatches
     mb = B // M
     bcast = tuple(bcast)
@@ -137,8 +147,28 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
     return fn(stacked_params, x, *bcast, *per_example)
 
 
+def pad_stack(stacked_params, n_stages: int):
+    """Pad a stacked-layer pytree to a multiple of ``n_stages`` rows with
+    zero (inert) layers, so the stack can be STORED stage-sharded even for
+    indivisible layer counts (the real trunk's 47 scanned blocks over 8
+    stages: ``jax.device_put`` refuses to shard a 47-row axis 8 ways).
+    Returns (padded_params, n_valid); pass ``n_valid`` through to
+    :func:`pipeline_stack` / :func:`esm3_pp_forward` so the pad layers are
+    skipped."""
+    n_rows = jax.tree.leaves(stacked_params)[0].shape[0]
+    n_pad = (-n_rows) % n_stages
+    if n_pad:
+        stacked_params = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_pad, *a.shape[1:]), a.dtype)]),
+            stacked_params)
+    return stacked_params, n_rows
+
+
 def stage_shardings(params, mesh: Mesh, axis_name: str = STAGE_AXIS):
-    """NamedShardings placing the stacked-layer axis on the stage axis."""
+    """NamedShardings placing the stacked-layer axis on the stage axis.
+    The leading axis must divide the stage count — use :func:`pad_stack`
+    first when it doesn't (e.g. the 47-block full trunk)."""
     spec = NamedSharding(mesh, P(axis_name))
     return jax.tree.map(lambda _: spec, params)
 
@@ -182,10 +212,11 @@ def esm3_pp_forward(net, params, mesh: Mesh, n_microbatches: int, *,
             jnp.int32)
 
     tp = params["transformer"]
-    block0 = TransformerBlock(cfg, use_geom_attn=True)
-    x = block0.apply({"params": tp["block0"]}, x, rot_cos, rot_sin, None,
-                     lengths, affine, affine_mask, sequence_id, chain_id,
-                     skip_geom=True)
+    geom_block = TransformerBlock(cfg, use_geom_attn=True)
+    for i in range(cfg.n_layers_geom):
+        x = geom_block.apply({"params": tp[f"block{i}"]}, x, rot_cos,
+                             rot_sin, None, lengths, affine, affine_mask,
+                             sequence_id, chain_id, skip_geom=True)
 
     scan_block = _ScanBlock(cfg)
 
@@ -198,10 +229,13 @@ def esm3_pp_forward(net, params, mesh: Mesh, n_microbatches: int, *,
     if lengths is None:
         B = x.shape[0]
         lengths = jnp.full((B,), L, jnp.int32)
+    # the stored stack may be pre-padded by pad_stack (stage-sharded storage
+    # of an indivisible layer count); the real layer count comes from cfg
+    n_valid = cfg.n_layers - cfg.n_layers_geom
     x = pipeline_stack(block_fn, tp["blocks"], x, mesh=mesh,
                        n_microbatches=n_microbatches,
                        bcast=(rot_cos, rot_sin), per_example=(lengths,),
-                       axis_name=axis_name)
+                       n_valid=n_valid, axis_name=axis_name)
 
     pre_norm = x
     x = LayerNorm().apply({"params": tp["norm"]}, x)

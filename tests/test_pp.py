@@ -164,6 +164,56 @@ def test_esm3_pp_grad_parity(tiny_trunk):
     assert checked == len(flat_pp)
 
 
+def test_esm3_pp_prepadded_stage_sharded_storage():
+    """The real-trunk shape: an indivisible scanned-layer count (7 over 8
+    stages) stored stage-sharded via pad_stack — device_put would refuse the
+    unpadded axis — still matches the unpipelined forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = esm3_tiny(dtype="float32", head_type="structure", n_layers=8)
+    net = ESM3(cfg)
+    seq, st, lengths = _batch()
+    params = jax.jit(lambda k: net.init(k, sequence_tokens=seq))(
+        jax.random.PRNGKey(4))["params"]
+    ref = net.apply({"params": params}, structure_tokens=st,
+                    sequence_tokens=seq, lengths=lengths)
+
+    mesh = stage_mesh()
+    padded, n_valid = pp.pad_stack(params["transformer"]["blocks"], S)
+    assert n_valid == 7
+    assert jax.tree.leaves(padded)[0].shape[0] == 8
+    params_pp = dict(params)
+    params_pp["transformer"] = dict(params["transformer"])
+    params_pp["transformer"]["blocks"] = jax.device_put(
+        padded, pp.stage_shardings(padded, mesh))
+    out = pp.esm3_pp_forward(net, params_pp, mesh, n_microbatches=2,
+                             structure_tokens=st, sequence_tokens=seq,
+                             lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out.structure_logits),
+                               np.asarray(ref.structure_logits),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_esm3_pp_multiple_geom_blocks():
+    """n_layers_geom=2: both geometric-capable blocks must run replicated
+    before the pipelined stack (a hardcoded block0 would silently skip
+    block1)."""
+    cfg = esm3_tiny(dtype="float32", head_type="structure", n_layers=10,
+                    n_layers_geom=2)
+    net = ESM3(cfg)
+    seq, st, lengths = _batch()
+    params = jax.jit(lambda k: net.init(k, sequence_tokens=seq))(
+        jax.random.PRNGKey(5))["params"]
+    ref = net.apply({"params": params}, structure_tokens=st,
+                    sequence_tokens=seq, lengths=lengths)
+    out = pp.esm3_pp_forward(net, params, stage_mesh(), n_microbatches=2,
+                             structure_tokens=st, sequence_tokens=seq,
+                             lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out.structure_logits),
+                               np.asarray(ref.structure_logits),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_pp_train_step_stage_sharded(tiny_trunk):
     """One jitted optimizer step with the scanned stack born stage-sharded."""
     import optax

@@ -117,8 +117,14 @@ def test_request_errors(server):
         ({"sequence": "MKT", "num_samples": 99}, "num_samples"),
         ({"sequence": "MKT", "mask_ids": [99]}, "out of range"),
         ({"sequence": "MKT", "format": "xml"}, "format"),
+        ({"sequence": "MKT1!z"}, "invalid residue"),
+        # this server's runtime has the stock esm3 head + no sigma embedder
+        ({"sequence": "MKT", "mode": "ddpm"}, "cannot run ddpm"),
     ]:
         status, body = _post(base + "/sample", payload)
         assert status == 400 and frag in body["error"], (payload, body)
+    # syntactically valid JSON that isn't an object is a client error too
+    status, body = _post(base + "/sample", [1, 2, 3])
+    assert status == 400 and "JSON object" in body["error"]
     status, body = _post(base + "/nope", {})
     assert status == 404
