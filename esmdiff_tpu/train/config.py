@@ -52,6 +52,11 @@ class ModelConfig:
     n_structure_heads: int = 4101
     n_sequence_heads: int = 0
     dtype: str = "bfloat16"
+    # float32 = reference parity (ZeRO-2 fp32 master weights,
+    # trainer/deepspeed.yaml:11) — needs the moments sharded across chips
+    # (fp32 params+moments ~16.8 GB > one v5e's 15.75 GB HBM, measured OOM);
+    # bfloat16 fits the full 1.4B fine-tune on ONE chip (PERF.md, 238 ms/step)
+    param_dtype: str = "float32"
     remat: bool = True
     # mdlm flags (configs/experiment/mdlm.yaml:30-52)
     noise: str = "loglinear"

@@ -34,17 +34,18 @@ def build_mdlm(cfg: TrainConfig) -> MDLM:
     m = cfg.model
     if m.size == "tiny":
         trunk_cfg = esm3_tiny(
-            dtype=m.dtype, head_type="structure",
+            dtype=m.dtype, param_dtype=m.param_dtype, head_type="structure",
             n_structure_heads=m.n_structure_heads,
             n_sequence_heads=m.n_sequence_heads, remat=m.remat)
     else:
         trunk_cfg = ESM3Config(
-            dtype=m.dtype, head_type="structure",
+            dtype=m.dtype, param_dtype=m.param_dtype, head_type="structure",
             n_structure_heads=m.n_structure_heads,
             n_sequence_heads=m.n_sequence_heads, remat=m.remat)
     net = ESM3(trunk_cfg)
     se = TimestepEmbedder(hidden_size=trunk_cfg.d_model,
-                          dtype=trunk_cfg.jnp_dtype)
+                          dtype=trunk_cfg.jnp_dtype,
+                          param_dtype=trunk_cfg.jnp_param_dtype)
     mdlm_cfg = MDLMConfig(
         time_conditioning=m.time_conditioning,
         change_of_variables=m.change_of_variables,
