@@ -78,6 +78,43 @@ def test_sweep_sampling():
         sample_value(rng, {"type": "nope"})
 
 
+def test_sweep_main_survives_member_failure(tmp_path, monkeypatch):
+    """The sweep harness must survive failing trials (reference task_wrapper
+    semantics, slm/utils/utils.py:65-93) and still report the best of the
+    survivors."""
+    import yaml
+
+    from esmdiff_tpu.cli import sweep
+    from esmdiff_tpu.train import loop as train_loop
+
+    calls = {"n": 0}
+
+    def fake_train(cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom (injected trial failure)")
+        return {"best_val_loss": 1.0 + calls["n"] * 0.1, "steps": 3,
+                "wall_s": 0.0, "ckpt_dir": str(tmp_path)}
+
+    monkeypatch.setattr(train_loop, "train", fake_train)
+    space = tmp_path / "space.yaml"
+    space.write_text(yaml.safe_dump(
+        {"space": {"optim.lr": {"type": "loguniform",
+                                "low": 1e-6, "high": 1e-4}}}))
+    out = tmp_path / "sweep_out"
+    sweep.main(["--config", "configs/mdlm_smoke.yaml",
+                "--space", str(space), "--n_trials", "3",
+                "--output", str(out), "data.path=/nonexistent-unused"])
+    results = json.loads((out / "results.json").read_text())
+    assert len(results) == 3
+    assert results[0]["val_loss"] is None and "boom" in results[0]["error"]
+    best = json.loads((out / "best.json").read_text())
+    assert best["trial"] == 1  # lowest val_loss among the survivors
+    # every trial got a distinct sampled lr within the space
+    lrs = [r["params"]["optim.lr"] for r in results]
+    assert len(set(lrs)) == 3 and all(1e-6 <= v <= 1e-4 for v in lrs)
+
+
 def test_plots_render(tmp_path):
     from esmdiff_tpu.eval import plots
 

@@ -109,6 +109,36 @@ def test_warmup_endpoint(server):
     assert any(k[1] == 64 for k in service.sampler._gibbs_jit_cache)
 
 
+def test_concurrent_requests_serialize(server):
+    """Concurrent /sample posts + /healthz probes: the device lock serializes
+    sampling, health stays lock-free, and every request completes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, _ = server
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"
+
+    def one_sample(seed):
+        return _post(base + "/sample", {
+            "sequence": seq, "num_samples": 2, "mode": "gibbs",
+            "num_steps": 2, "seed": seed, "format": "tokens"})
+
+    def one_health(_):
+        return _get(base + "/healthz")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        sample_futs = [ex.submit(one_sample, s) for s in range(3)]
+        health_futs = [ex.submit(one_health, i) for i in range(3)]
+        sample_res = [f.result(timeout=600) for f in sample_futs]
+        health_res = [f.result(timeout=600) for f in health_futs]
+    for status, body in sample_res:
+        assert status == 200 and len(body["tokens"]) == 2
+    for status, body in health_res:
+        assert status == 200 and body["ok"]
+    # distinct seeds -> distinct draws (the lock didn't collapse requests)
+    draws = {tuple(np.asarray(b["tokens"]).ravel()) for _, b in sample_res}
+    assert len(draws) == 3
+
+
 def test_request_errors(server):
     base, _ = server
     for payload, frag in [
