@@ -31,6 +31,7 @@ would only fragment HBM.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import threading
 import time
@@ -50,6 +51,7 @@ _VALID_MODES = ("gibbs", "ddpm", "eb")
 _MAX_SEQ_LEN = 2048
 
 
+@functools.cache
 def _valid_residues() -> frozenset:
     """Characters the sequence tokenizer accepts (single-char vocab entries
     are the residue alphabet), plus '_' (mask).  Anything else would be

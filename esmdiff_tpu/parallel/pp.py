@@ -79,13 +79,8 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
     # want the stack STORED stage-sharded pad up front with ``pad_stack``
     # (device_put cannot shard a 47-row axis 8 ways); replicated inputs are
     # padded here on the fly.
-    n_pad = (-n_rows) % S
-    if n_pad:
-        stacked_params = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros((n_pad, *a.shape[1:]), a.dtype)]),
-            stacked_params)
-    n_loc = (n_rows + n_pad) // S
+    stacked_params, _ = pad_stack(stacked_params, S)
+    n_loc = jax.tree.leaves(stacked_params)[0].shape[0] // S
     M = n_microbatches
     mb = B // M
     bcast = tuple(bcast)

@@ -56,13 +56,11 @@ def make_target_ensemble(bb, rng, n=N_ENSEMBLE, n_modes=5, amp=1.2,
 
 
 def kabsch_rmsd_ca(a, b):
-    """CA RMSD after optimal alignment; a, b (L, 3)."""
-    a = a - a.mean(0)
-    b = b - b.mean(0)
-    u, _, vt = np.linalg.svd(a.T @ b)
-    d = np.sign(np.linalg.det(u @ vt))
-    r = u @ np.diag([1, 1, d]) @ vt
-    return float(np.sqrt(((a @ r - b) ** 2).sum(-1).mean()))
+    """CA RMSD after optimal alignment; a, b (L, 3) — the repo's
+    oracle-tested Kabsch stack (eval/geo.py, tests/test_geo_oracle.py)."""
+    from esmdiff_tpu.eval import geo
+
+    return float(np.asarray(geo.rmsd(a, b)))
 
 
 def main():
