@@ -70,6 +70,9 @@ class SamplerService:
         self.max_samples = max_samples
         self._lock = threading.Lock()
         self._n_requests = 0
+        # per-mode latency aggregates, updated under the lock; /healthz reads
+        # a snapshot without it (atomic dict copy under the GIL)
+        self._stats: dict = {}
 
     # -- introspection ---------------------------------------------------------
     def health(self) -> dict:
@@ -88,6 +91,7 @@ class SamplerService:
                 "gibbs": sorted(map(str, list(self.sampler._gibbs_jit_cache))),
             },
             "requests_served": self._n_requests,
+            "latency": {k: dict(v) for k, v in list(self._stats.items())},
         }
 
     # -- sampling --------------------------------------------------------------
@@ -180,6 +184,13 @@ class SamplerService:
                     [p.to_protein() for p in prots])
                 out["total_sec"] = round(time.time() - t0, 3)
             self._n_requests += 1
+            wall = time.time() - t0
+            st = self._stats.setdefault(
+                mode, {"count": 0, "last_sec": 0.0, "mean_sec": 0.0})
+            st["count"] += 1
+            st["last_sec"] = round(wall, 3)
+            st["mean_sec"] = round(
+                st["mean_sec"] + (wall - st["mean_sec"]) / st["count"], 3)
             return out
 
     def warmup(self, req: dict) -> dict:

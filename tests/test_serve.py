@@ -87,6 +87,8 @@ def test_sample_tokens_and_pdb(server):
 
     status, health = _get(base + "/healthz")
     assert health["requests_served"] >= 3
+    gibbs_stats = health["latency"]["gibbs"]
+    assert gibbs_stats["count"] >= 3 and gibbs_stats["mean_sec"] > 0
 
 
 def test_inpainting_via_pdb_prior(server):
