@@ -942,6 +942,265 @@ def verify_function_decoder(state_dict: dict, cfg=None,
     return rows
 
 
+# ---------------------------------------------------------------------------
+# CLM / JLM — oracle is the REAL HuggingFace torch implementation
+# ---------------------------------------------------------------------------
+# The reference's CLM/JLM wrap HF T5/GPT-2 (slm/models/net.py:87-295), and
+# transformers ships in this environment, so unlike the hand-written oracles
+# above these two verify against the actual upstream module — no shared
+# architectural assumptions at all (same oracle as
+# tests/test_convert_hf_oracle.py, which pins correctness on tiny shapes).
+
+
+def _report_rows(rows, missing, label):
+    print(f"{'checkpoint':<18} {'max_abs_diff':>14} {'rel_diff':>12}")
+    worst = 0.0
+    for r in rows:
+        print(f"{r['layer']:<18} {r['max_abs_diff']:>14.3e} "
+              f"{r['rel_diff']:>12.3e}")
+        worst = max(worst, r["rel_diff"])
+    verdict = "OK" if worst < 1e-4 and not missing else "MISMATCH"
+    print(f"[verify] {label} worst rel diff {worst:.3e}, "
+          f"{len(missing)} missing keys -> {verdict}")
+    return rows
+
+
+def _record_into(rows):
+    def record(name, jax_out, torch_out):
+        a = np.asarray(jax_out, np.float32)
+        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
+            else np.asarray(torch_out, np.float32)
+        d = float(np.max(np.abs(a - b)))
+        rows.append({"layer": name, "max_abs_diff": d,
+                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+    return record
+
+
+def infer_clm_config(sd):
+    """CLMConfig from a CustomedT5-layout state_dict's shapes."""
+    from esmdiff_tpu.models.clm import CLMConfig
+
+    V, d = sd["decoder.embed_tokens.weight"].shape
+    d_ff = sd["decoder.block.0.layer.2.DenseReluDense.wi_0.weight"].shape[0]
+    n_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("decoder.block."))
+    buckets, H = sd["decoder.block.0.layer.0.SelfAttention."
+                    "relative_attention_bias.weight"].shape
+    inner = sd["decoder.block.0.layer.0.SelfAttention.q.weight"].shape[0]
+    if inner != d:
+        raise ValueError(f"T5 inner dim {inner} != d_model {d} "
+                         "(non-standard d_kv is not modeled)")
+    cond = sd["adapation_layer.weight"].shape[1]
+    return CLMConfig(vocab_size=int(V), d_model=int(d), d_ff=int(d_ff),
+                     n_layers=int(n_layers), n_heads=int(H),
+                     rel_pos_buckets=int(buckets), cond_dim=int(cond),
+                     dtype="float32")
+
+
+def make_reference_clm_state_dict(cfg, seed: int = 0) -> dict:
+    """Reference-layout fixture = an ACTUAL random HF T5 state_dict plus the
+    CustomedT5 adapter (the strongest possible fixture: the keys/shapes come
+    from upstream transformers itself)."""
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    torch.manual_seed(seed)
+    hf = T5ForConditionalGeneration(T5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+        d_kv=cfg.d_model // cfg.n_heads, d_ff=cfg.d_ff,
+        num_layers=cfg.n_layers, num_heads=cfg.n_heads,
+        relative_attention_num_buckets=cfg.rel_pos_buckets,
+        relative_attention_max_distance=cfg.rel_pos_max_distance,
+        dropout_rate=0.0, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, pad_token_id=cfg.pad_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id))
+    sd = {k: v.detach() for k, v in hf.state_dict().items()}
+    sd["adapation_layer.weight"] = torch.randn(cfg.d_model, cfg.cond_dim) * 0.1
+    return sd
+
+
+def verify_clm(state_dict: dict, cfg=None, probe_seed: int = 7) -> list[dict]:
+    """Convert a CustomedT5 state_dict and diff encoder output / logits /
+    loss against the real HF torch T5 on a fixed probe batch."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    from esmdiff_tpu.models.clm import CLM
+    from .ar_rules import convert_clm
+
+    if cfg is None:
+        cfg = infer_clm_config(state_dict)
+    model = CLM(cfg)
+    B, L, LS = 2, 6, 7
+    emb0 = jnp.zeros((B, L, cfg.cond_dim), jnp.float32)
+    lab0 = jnp.zeros((B, LS), jnp.int32)
+    template = model.init(jax.random.PRNGKey(0), emb0, lab0)["params"]
+    params, report = convert_clm(template, state_dict,
+                                 n_layers=cfg.n_layers, strict=False)
+    if report["missing"]:
+        print(f"[verify] MISSING torch keys ({len(report['missing'])}): "
+              + ", ".join(report["missing"][:8]))
+
+    hf = T5ForConditionalGeneration(T5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+        d_kv=cfg.d_model // cfg.n_heads, d_ff=cfg.d_ff,
+        num_layers=cfg.n_layers, num_heads=cfg.n_heads,
+        relative_attention_num_buckets=cfg.rel_pos_buckets,
+        relative_attention_max_distance=cfg.rel_pos_max_distance,
+        dropout_rate=0.0, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, pad_token_id=cfg.pad_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id)).eval()
+    backbone = {k: torch.as_tensor(np.asarray(v))
+                for k, v in state_dict.items() if k != "adapation_layer.weight"}
+    hf.load_state_dict(backbone, strict=False)
+    adapter_w = torch.as_tensor(np.asarray(
+        state_dict["adapation_layer.weight"]))
+
+    rng = np.random.RandomState(probe_seed)
+    emb = rng.randn(B, L, cfg.cond_dim).astype(np.float32)
+    labels = rng.randint(0, min(4096, cfg.vocab_size), (B, LS))
+
+    rows: list[dict] = []
+    record = _record_into(rows)
+    with torch.no_grad():
+        enc_in = torch.as_tensor(emb) @ adapter_w.T
+        enc_t = hf.encoder(inputs_embeds=enc_in).last_hidden_state
+        out_t = hf(inputs_embeds=enc_in,
+                   labels=torch.as_tensor(labels))
+    enc_j = model.apply({"params": params}, jnp.asarray(emb),
+                        method=lambda m, e: m.encode(e))
+    out_j = model.apply({"params": params}, jnp.asarray(emb),
+                        jnp.asarray(labels.astype(np.int32)))
+    record("encoder", enc_j, enc_t)
+    record("logits", out_j["logits"], out_t.logits)
+    record("loss", out_j["loss"], out_t.loss)
+    return _report_rows(rows, report["missing"], "clm (HF T5 oracle)")
+
+
+def infer_jlm_config(sd, n_heads=None):
+    """JLMConfig from a CustomedGPT2-layout state_dict's shapes.  GPT-2
+    state dicts do not encode the head count — pass ``n_heads`` for real
+    checkpoints (defaults to JLMConfig's)."""
+    from esmdiff_tpu.models.jlm import JLMConfig
+
+    n_pos, d = sd["wpe.weight"].shape
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("h."))
+    kw = dict(
+        n_embd=int(d), n_layers=int(n_layers), n_positions=int(n_pos),
+        struct_embed_dim=int(sd["structure_embed_tokens.weight"].shape[1]),
+        cond_dim=int(sd["sequence_adapation_layer.weight"].shape[1]),
+        seq_vocab=int(sd["sequence_head.weight"].shape[0]),
+        struct_vocab=int(sd["structure_head.weight"].shape[0]),
+        sep_strategy="position" if "sep_token" in sd else "sentence",
+        dtype="float32")
+    if n_heads is not None:
+        kw["n_heads"] = int(n_heads)
+    return JLMConfig(**kw)
+
+
+def make_reference_jlm_state_dict(cfg, seed: int = 0) -> dict:
+    """Reference-layout fixture from an ACTUAL random HF GPT2Model."""
+    import torch
+    from transformers import GPT2Config, GPT2Model
+
+    torch.manual_seed(seed)
+    gpt = GPT2Model(GPT2Config(
+        vocab_size=8, n_positions=cfg.n_positions, n_embd=cfg.n_embd,
+        n_layer=cfg.n_layers, n_head=cfg.n_heads, resid_pdrop=0.0,
+        embd_pdrop=0.0, attn_pdrop=0.0, activation_function="gelu_new"))
+    sd = {k: v.detach() for k, v in gpt.state_dict().items()}
+    sd.update({
+        "structure_embed_tokens.weight":
+            torch.randn(cfg.struct_vocab, cfg.struct_embed_dim) * 0.1,
+        "sequence_adapation_layer.weight":
+            torch.randn(cfg.n_embd, cfg.cond_dim) * 0.1,
+        "structure_adapation_layer.weight":
+            torch.randn(cfg.n_embd, cfg.struct_embed_dim) * 0.1,
+        "sequence_head.weight": torch.randn(cfg.seq_vocab, cfg.n_embd) * 0.1,
+        "structure_head.weight":
+            torch.randn(cfg.struct_vocab, cfg.n_embd) * 0.1,
+    })
+    if cfg.sep_strategy == "position":
+        sd["sep_token"] = torch.randn(cfg.n_embd)
+    return sd
+
+
+def verify_jlm(state_dict: dict, cfg=None, n_heads=None,
+               probe_seed: int = 7) -> list[dict]:
+    """Convert a CustomedGPT2 state_dict and diff both head logits against
+    the real HF torch GPT-2 on a fixed probe batch."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import GPT2Config, GPT2Model
+
+    from esmdiff_tpu.models.jlm import JLM
+    from .ar_rules import convert_jlm
+
+    if cfg is None:
+        cfg = infer_jlm_config(state_dict, n_heads=n_heads)
+        if n_heads is None:
+            print(f"[verify] GPT-2 state dicts don't encode the head count; "
+                  f"assuming n_heads={cfg.n_heads} (pass --heads to override)")
+    model = JLM(cfg)
+    B, L, LS = 2, 5, 6
+    emb0 = jnp.zeros((B, L, cfg.cond_dim), jnp.float32)
+    st0 = jnp.zeros((B, LS), jnp.int32)
+    template = model.init(jax.random.PRNGKey(0), emb0, st0)["params"]
+    params, report = convert_jlm(template, state_dict,
+                                 n_layers=cfg.n_layers, strict=False)
+    if report["missing"]:
+        print(f"[verify] MISSING torch keys ({len(report['missing'])}): "
+              + ", ".join(report["missing"][:8]))
+
+    gpt = GPT2Model(GPT2Config(
+        vocab_size=8, n_positions=cfg.n_positions, n_embd=cfg.n_embd,
+        n_layer=cfg.n_layers, n_head=cfg.n_heads, resid_pdrop=0.0,
+        embd_pdrop=0.0, attn_pdrop=0.0,
+        activation_function="gelu_new")).eval()
+    t = lambda k: torch.as_tensor(np.asarray(state_dict[k]))
+    gpt.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in state_dict.items()
+         if k.startswith(("h.", "wte", "wpe", "ln_f"))}, strict=False)
+
+    rng = np.random.RandomState(probe_seed)
+    emb = rng.randn(B, L, cfg.cond_dim).astype(np.float32)
+    st = rng.randint(0, min(4096, cfg.struct_vocab), (B, LS))
+
+    rows: list[dict] = []
+    record = _record_into(rows)
+    with torch.no_grad():
+        seq_part = torch.as_tensor(emb) @ t("sequence_adapation_layer.weight").T
+        str_emb = t("structure_embed_tokens.weight")[torch.as_tensor(st)]
+        str_part = str_emb @ t("structure_adapation_layer.weight").T
+        if cfg.sep_strategy == "sentence":
+            x = torch.cat([seq_part, str_part], dim=1)
+            types = torch.cat([torch.zeros(B, L), torch.ones(B, LS)],
+                              dim=1).long()
+            pos = torch.arange(L + LS)[None].expand(B, -1)
+            h = gpt(inputs_embeds=x, position_ids=pos,
+                    token_type_ids=types).last_hidden_state
+            off = 0
+        else:
+            sep = t("sep_token")[None, None].expand(B, 1, cfg.n_embd)
+            x = torch.cat([seq_part, sep, str_part], dim=1)
+            pos = torch.cat([torch.arange(L), torch.zeros(1).long(),
+                             torch.arange(LS)])[None].expand(B, -1)
+            h = gpt(inputs_embeds=x, position_ids=pos).last_hidden_state
+            off = 1
+        seq_logits_t = h[:, :L] @ t("sequence_head.weight").T
+        str_logits_t = h[:, L + off:] @ t("structure_head.weight").T
+
+    out_j = model.apply({"params": params}, jnp.asarray(emb),
+                        jnp.asarray(st.astype(np.int32)))
+    record("sequence_logits", out_j["sequence_logits"], seq_logits_t)
+    record("structure_logits", out_j["structure_logits"], str_logits_t)
+    return _report_rows(rows, report["missing"], "jlm (HF GPT-2 oracle)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Per-layer torch-vs-jax activation diff of a converted "
@@ -957,8 +1216,42 @@ def main(argv=None):
                    help="Layer slice, e.g. 0:4")
     p.add_argument("--component", type=str, default="trunk",
                    choices=["trunk", "vqvae_decoder", "vqvae_encoder",
-                            "function_decoder"])
+                            "function_decoder", "clm", "jlm"])
+    p.add_argument("--heads", type=int, default=None,
+                   help="jlm: GPT-2 head count (not encoded in state dicts).")
     args = p.parse_args(argv)
+
+    if args.component in ("clm", "jlm"):
+        from .torch_to_jax import load_torch_state_dict, strip_prefix
+
+        if args.fixture or not args.ckpt:
+            print("[verify] using HF-layout random fixture")
+            if args.component == "clm":
+                from esmdiff_tpu.models.clm import CLMConfig
+
+                cfg = (CLMConfig(d_model=32, d_ff=64, n_layers=2, n_heads=4,
+                                 cond_dim=48, dtype="float32")
+                       if args.scale == "tiny" else
+                       CLMConfig(dtype="float32"))
+                verify_clm(make_reference_clm_state_dict(cfg), cfg)
+            else:
+                from esmdiff_tpu.models.jlm import JLMConfig
+
+                cfg = (JLMConfig(n_embd=32, n_layers=2, n_heads=4,
+                                 n_positions=64, cond_dim=48,
+                                 struct_embed_dim=24, seq_vocab=33,
+                                 dtype="float32")
+                       if args.scale == "tiny" else JLMConfig(dtype="float32"))
+                verify_jlm(make_reference_jlm_state_dict(cfg), cfg)
+            return
+        sd = load_torch_state_dict(args.ckpt)
+        if any(k.startswith("net.") for k in sd):
+            sd = strip_prefix(sd, "net.")
+        if args.component == "clm":
+            verify_clm(sd)
+        else:
+            verify_jlm(sd, n_heads=args.heads)
+        return
 
     if args.component == "vqvae_encoder":
         from esmdiff_tpu.models.vqvae import EncoderConfig

@@ -234,3 +234,37 @@ def test_function_decoder_head_sizes_from_state_dict():
         keyword_vocab=sd["heads.keyword_logits.3.weight"].shape[0])
     rows = verify_function_decoder(sd, cfg)
     assert max(r["rel_diff"] for r in rows) < 1e-5
+
+
+def test_clm_verify_fixture_and_config_inference():
+    """CLM verification against the REAL HF torch T5 (no hand-written
+    oracle), with the config inferred purely from state-dict shapes — the
+    real-checkpoint-day procedure."""
+    from esmdiff_tpu.convert.verify import (
+        infer_clm_config, make_reference_clm_state_dict, verify_clm)
+    from esmdiff_tpu.models.clm import CLMConfig
+
+    donor = CLMConfig(d_model=32, d_ff=48, n_layers=2, n_heads=4,
+                      cond_dim=40, dtype="float32")
+    sd = make_reference_clm_state_dict(donor, seed=1)
+    cfg = infer_clm_config(sd)
+    assert (cfg.d_model, cfg.d_ff, cfg.n_layers, cfg.n_heads,
+            cfg.cond_dim) == (32, 48, 2, 4, 40)
+    rows = verify_clm(sd)  # config inferred internally
+    assert max(r["rel_diff"] for r in rows) < 1e-5
+
+
+def test_jlm_verify_fixture_both_strategies():
+    from esmdiff_tpu.convert.verify import (
+        infer_jlm_config, make_reference_jlm_state_dict, verify_jlm)
+    from esmdiff_tpu.models.jlm import JLMConfig
+
+    for sep in ("sentence", "position"):
+        donor = JLMConfig(n_embd=32, n_layers=2, n_heads=4, n_positions=64,
+                          cond_dim=40, struct_embed_dim=24, seq_vocab=33,
+                          sep_strategy=sep, dtype="float32")
+        sd = make_reference_jlm_state_dict(donor, seed=2)
+        cfg = infer_jlm_config(sd, n_heads=4)
+        assert cfg.sep_strategy == sep and cfg.n_embd == 32
+        rows = verify_jlm(sd, n_heads=4)
+        assert max(r["rel_diff"] for r in rows) < 1e-5
