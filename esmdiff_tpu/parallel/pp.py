@@ -42,7 +42,8 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
                    mesh: Mesh, n_microbatches: int,
                    bcast: Sequence = (), per_example: Sequence = (),
                    n_valid: int | None = None,
-                   axis_name: str = STAGE_AXIS):
+                   axis_name: str = STAGE_AXIS,
+                   data_axis: str | None = None):
     """Apply ``n_total`` stacked layers to ``x`` with the layer axis sharded
     over ``axis_name`` (GPipe schedule).
 
@@ -60,11 +61,24 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
     n_valid: number of real layers when ``stacked_params`` was pre-padded
         with :func:`pad_stack` (so stage-sharded storage divides evenly);
         defaults to the full row count.
+    data_axis: optional second mesh axis for pp x dp composition — the batch
+        (and per_example arrays) shard over it while layers shard over
+        ``axis_name``; each data-slice runs its own GPipe schedule, and the
+        caller's gradient psum over ``data_axis`` (emitted by XLA from the
+        loss sharding) completes DP as usual.
 
-    Returns (B, ...) outputs, replicated across stages.
+    Returns (B, ...) outputs, replicated across stages (sharded over
+    ``data_axis`` when given).
     """
     S = mesh.shape[axis_name]
     B = x.shape[0]
+    if data_axis is not None:
+        n_data = mesh.shape[data_axis]
+        if B % (n_microbatches * n_data) != 0:
+            raise ValueError(
+                f"batch {B} not divisible by M={n_microbatches} x "
+                f"{data_axis}={n_data}")
+        B = B // n_data  # local batch per data-slice inside shard_map
     n_rows = jax.tree.leaves(stacked_params)[0].shape[0]
     n_total = n_rows if n_valid is None else n_valid
     if not 0 < n_total <= n_rows:
@@ -132,11 +146,14 @@ def pipeline_stack(block_fn: Callable, stacked_params, x, *,
             jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), axis_name)
         return outs.reshape(x_full.shape)
 
+    batch_spec = P() if data_axis is None else P(data_axis)
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: P(axis_name), stacked_params), P())
-                 + tuple(P() for _ in bcast + per_example),
-        out_specs=P(),
+        in_specs=(jax.tree.map(lambda _: P(axis_name), stacked_params),
+                  batch_spec)
+                 + tuple(P() for _ in bcast)
+                 + tuple(batch_spec for _ in per_example),
+        out_specs=batch_spec,
         check_vma=False,
     )
     return fn(stacked_params, x, *bcast, *per_example)

@@ -82,6 +82,30 @@ def test_pipeline_stack_pads_indivisible_layer_count():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_pipeline_stack_pp_x_dp_composition():
+    """2-D (stage x data) mesh: layers shard over 4 stages, the batch over
+    2 data slices, each slice running its own GPipe schedule — output must
+    match sequential application."""
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                (pp.STAGE_AXIS, "data"))
+    n_layers, B, D, M = 8, 8, 8, 2
+    rng = np.random.RandomState(5)
+    params = {"w": jnp.asarray(rng.randn(n_layers, D, D) * 0.2, jnp.float32)}
+    x = jnp.asarray(rng.randn(B, D), jnp.float32)
+    scale = jnp.asarray(rng.rand(B) + 0.5, jnp.float32)
+
+    def block_fn(p, h, pe_scale):
+        return jnp.tanh(h @ p["w"]) * pe_scale[:, None] + h
+
+    ref = x
+    for i in range(n_layers):
+        ref = block_fn({"w": params["w"][i]}, ref, scale)
+    out = pp.pipeline_stack(block_fn, params, x, mesh=mesh, n_microbatches=M,
+                            per_example=(scale,), data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_stack_validates_batch():
     mesh = stage_mesh()
     with pytest.raises(ValueError, match="batch"):
