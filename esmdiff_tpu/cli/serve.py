@@ -58,8 +58,12 @@ def _valid_residues() -> frozenset:
     silently encoded as UNK — reject it at the API boundary instead."""
     from esmdiff_tpu.core.tokenizer import SequenceTokenizer
 
+    # isalpha filters the non-residue single-char entries ('.', '-', and
+    # the '|' chainbreak) — they'd encode "validly" but produce corrupt
+    # structures, so the API rejects them by name instead
     return frozenset(
-        t for t in SequenceTokenizer.vocab if len(t) == 1) | {"_"}
+        t for t in SequenceTokenizer.vocab
+        if len(t) == 1 and t.isalpha()) | {"_"}
 
 
 class SamplerService:
@@ -91,7 +95,10 @@ class SamplerService:
                 "gibbs": sorted(map(str, list(self.sampler._gibbs_jit_cache))),
             },
             "requests_served": self._n_requests,
-            "latency": {k: dict(v) for k, v in list(self._stats.items())},
+            "latency": {
+                k: {**v, "mean_sec": round(v["mean_sec"], 3)}
+                for k, v in list(self._stats.items())
+            },
         }
 
     # -- sampling --------------------------------------------------------------
@@ -133,6 +140,9 @@ class SamplerService:
         if fmt not in ("pdb", "tokens"):
             raise RequestError("format must be 'pdb' or 'tokens'")
         if mask_ids is not None:
+            if mode == "eb":
+                raise RequestError("eb mode does not support inpainting "
+                                   "(mask_ids) — use gibbs or ddpm")
             mask_ids = [int(i) for i in mask_ids]
             bad = [i for i in mask_ids if not 0 <= i < len(seq)]
             if bad:
@@ -140,6 +150,10 @@ class SamplerService:
             if prior_prot is None:
                 raise RequestError("inpainting (mask_ids) needs a 'pdb' "
                                    "prior structure")
+        if prior_prot is not None and len(prior_prot.sequence) != len(seq):
+            raise RequestError(
+                f"'sequence' length {len(seq)} != 'pdb' prior length "
+                f"{len(prior_prot.sequence)}")
 
         with self._lock:
             t0 = time.time()
@@ -172,26 +186,34 @@ class SamplerService:
                     max_steps=steps * 8, seed=seed,
                 )
             t_tokens = time.time() - t0
-            out: dict = {
-                "mode": mode, "num_samples": n, "num_steps": steps,
-                "sampling_sec": round(t_tokens, 3),
-            }
-            if fmt == "tokens":
-                out["tokens"] = np.asarray(tokens).tolist()
-            else:
+            prots = None
+            if fmt == "pdb":
+                # VQ decode needs the device -> stays under the lock
                 prots = self.sampler.decode_ensemble(seq, tokens)
-                out["pdb"] = protein_io.ensemble_to_pdb(
-                    [p.to_protein() for p in prots])
-                out["total_sec"] = round(time.time() - t0, 3)
+            # device work done: record stats, release the lock, and do the
+            # pure-CPU PDB text formatting outside it so queued sampling
+            # requests can use the chip meanwhile
             self._n_requests += 1
             wall = time.time() - t0
             st = self._stats.setdefault(
                 mode, {"count": 0, "last_sec": 0.0, "mean_sec": 0.0})
             st["count"] += 1
             st["last_sec"] = round(wall, 3)
-            st["mean_sec"] = round(
-                st["mean_sec"] + (wall - st["mean_sec"]) / st["count"], 3)
-            return out
+            # keep the accumulator unrounded; health() rounds for display
+            st["mean_sec"] = st["mean_sec"] + (wall - st["mean_sec"]) \
+                / st["count"]
+
+        out: dict = {
+            "mode": mode, "num_samples": n, "num_steps": steps,
+            "sampling_sec": round(t_tokens, 3),
+        }
+        if fmt == "tokens":
+            out["tokens"] = np.asarray(tokens).tolist()
+        else:
+            out["pdb"] = protein_io.ensemble_to_pdb(
+                [p.to_protein() for p in prots])
+            out["total_sec"] = round(time.time() - t0, 3)
+        return out
 
     def warmup(self, req: dict) -> dict:
         lengths = req.get("lengths") or [64]
@@ -243,11 +265,11 @@ def make_handler(service: SamplerService):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            n = int(self.headers.get("Content-Length", 0))
             try:
+                n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-            except json.JSONDecodeError as e:
-                return self._reply(400, {"error": f"bad json: {e}"})
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": f"bad request body: {e}"})
             if not isinstance(req, dict):
                 return self._reply(
                     400, {"error": "request body must be a JSON object"})
@@ -300,11 +322,19 @@ def main(argv=None):
     service = SamplerService(EnsembleSampler(runtime, mesh=mesh),
                              max_samples=args.max_samples)
     if args.warmup_lengths:
+        import sys as _sys
+
         lengths = [int(x) for x in args.warmup_lengths.split(",")]
+        wreq = {"lengths": lengths, "mode": args.mode,
+                "num_samples": args.num_samples}
+        # num_steps is part of the jit-cache key; only forward it when the
+        # operator set it explicitly — otherwise warm the per-mode default
+        # /sample will actually use (the inherited CLI default is 25, but a
+        # default gibbs request runs 16 steps)
+        if any(a.startswith("--num_steps") for a in (argv or _sys.argv[1:])):
+            wreq["num_steps"] = args.num_steps
         print(f"[warmup] precompiling buckets for lengths {lengths} ...")
-        rep = service.warmup({"lengths": lengths, "mode": args.mode,
-                              "num_steps": args.num_steps,
-                              "num_samples": args.num_samples})
+        rep = service.warmup(wreq)
         print(f"[warmup] {rep['warmed']}")
 
     httpd = serve(service, args.host, args.port)

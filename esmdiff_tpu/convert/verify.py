@@ -34,6 +34,20 @@ from esmdiff_tpu.core import constants as C
 PROBE_B, PROBE_L = 2, 16
 
 
+def _record_into(rows):
+    """Shared row recorder for every verify_* report (one metric definition
+    for all components)."""
+    def record(name, jax_out, torch_out):
+        a = np.asarray(jax_out, np.float32)
+        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
+            else np.asarray(torch_out, np.float32)
+        d = float(np.max(np.abs(a - b)))
+        rows.append({"layer": name, "max_abs_diff": d,
+                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+    return record
+
+
+
 # ---------------------------------------------------------------------------
 # reference-layout synthetic state_dict (public esm-3.0.4 module tree)
 # ---------------------------------------------------------------------------
@@ -303,12 +317,7 @@ def verify_trunk(state_dict: dict, cfg=None, layers: slice | None = None,
 
     rows = []
 
-    def record(name, jax_out, torch_out):
-        a = np.asarray(jax_out, np.float32)
-        b = torch_out.detach().numpy()
-        d = float(np.max(np.abs(a - b)))
-        rel = d / max(1e-12, float(np.max(np.abs(b))))
-        rows.append({"layer": name, "max_abs_diff": d, "rel_diff": rel})
+    record = _record_into(rows)
 
     # frames for the geometric block probe
     bb = rng.randn(PROBE_B, PROBE_L, 3, 3).astype(np.float32) * 3.0
@@ -535,12 +544,7 @@ def verify_vqvae_decoder(state_dict: dict, cfg=None,
 
     rows = []
 
-    def record(name, jax_out, torch_out):
-        a = np.asarray(jax_out, np.float32)
-        b = torch_out.detach().numpy()
-        d = float(np.max(np.abs(a - b)))
-        rows.append({"layer": name, "max_abs_diff": d,
-                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+    record = _record_into(rows)
 
     blocks = params["decoder_stack"]["blocks"]["block"] \
         if "blocks" in params["decoder_stack"] else None
@@ -701,13 +705,7 @@ def verify_vqvae_encoder(state_dict: dict, cfg=None,
 
     rows = []
 
-    def record(name, jax_out, torch_out):
-        a = np.asarray(jax_out, np.float32)
-        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
-            else np.asarray(torch_out, np.float32)
-        d = float(np.max(np.abs(a - b)))
-        rows.append({"layer": name, "max_abs_diff": d,
-                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+    record = _record_into(rows)
 
     # relative-position table lookup
     ids = rng.randint(0, 2 * cfg.rel_pos_bins + 2, (PROBE_B, PROBE_L))
@@ -891,13 +889,7 @@ def verify_function_decoder(state_dict: dict, cfg=None,
 
     rows = []
 
-    def record(name, jax_out, torch_out):
-        a = np.asarray(jax_out, np.float32)
-        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
-            else np.asarray(torch_out, np.float32)
-        d = float(np.max(np.abs(a - b)))
-        rows.append({"layer": name, "max_abs_diff": d,
-                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
+    record = _record_into(rows)
 
     # depth-offset embedding lookup
     toks = rng.randint(0, cfg.function_token_vocab, (PROBE_B, D))
@@ -963,17 +955,6 @@ def _report_rows(rows, missing, label):
     print(f"[verify] {label} worst rel diff {worst:.3e}, "
           f"{len(missing)} missing keys -> {verdict}")
     return rows
-
-
-def _record_into(rows):
-    def record(name, jax_out, torch_out):
-        a = np.asarray(jax_out, np.float32)
-        b = torch_out.detach().numpy() if hasattr(torch_out, "detach") \
-            else np.asarray(torch_out, np.float32)
-        d = float(np.max(np.abs(a - b)))
-        rows.append({"layer": name, "max_abs_diff": d,
-                     "rel_diff": d / max(1e-12, float(np.max(np.abs(b))))})
-    return record
 
 
 def infer_clm_config(sd):

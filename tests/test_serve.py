@@ -150,6 +150,9 @@ def test_request_errors(server):
         ({"sequence": "MKT", "mask_ids": [99]}, "out of range"),
         ({"sequence": "MKT", "format": "xml"}, "format"),
         ({"sequence": "MKT1!z"}, "invalid residue"),
+        ({"sequence": "MK|T"}, "invalid residue"),  # chainbreak char
+        ({"sequence": "MKT", "mode": "eb", "mask_ids": [1]},
+         "does not support inpainting"),
         # this server's runtime has the stock esm3 head + no sigma embedder
         ({"sequence": "MKT", "mode": "ddpm"}, "cannot run ddpm"),
     ]:
@@ -158,5 +161,10 @@ def test_request_errors(server):
     # syntactically valid JSON that isn't an object is a client error too
     status, body = _post(base + "/sample", [1, 2, 3])
     assert status == 400 and "JSON object" in body["error"]
+    # sequence/prior length mismatch is a 400 at the boundary, not a 500
+    status, body = _post(base + "/sample", {
+        "sequence": "M" * 60, "pdb": open(BPTI).read(), "num_samples": 1,
+        "mode": "gibbs", "num_steps": 2})
+    assert status == 400 and "length" in body["error"]
     status, body = _post(base + "/nope", {})
     assert status == 404
