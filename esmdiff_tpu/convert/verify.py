@@ -1126,6 +1126,11 @@ def verify_jlm(state_dict: dict, cfg=None, n_heads=None,
         if n_heads is None:
             print(f"[verify] GPT-2 state dicts don't encode the head count; "
                   f"assuming n_heads={cfg.n_heads} (pass --heads to override)")
+        # NB: a wrong head count CANNOT be caught by this diff — both the HF
+        # oracle and the JAX model are built with the same value, and the
+        # weight layout is head-count-invisible.  The count must match the
+        # TRAINING config (reference configs/experiment/jlm.yaml); this
+        # harness verifies conversion layout, which is orthogonal.
     model = JLM(cfg)
     B, L, LS = 2, 5, 6
     emb0 = jnp.zeros((B, L, cfg.cond_dim), jnp.float32)
