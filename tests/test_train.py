@@ -181,3 +181,17 @@ def test_train_profiler_window(corpus, tmp_path):
     prof = tmp_path / "run" / "profile"
     traces = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace*"))
     assert traces, f"no profiler artifacts under {prof}"
+
+
+def test_every_shipped_config_builds_a_task():
+    """Regression guard for the task_name switch: each shipped experiment
+    yaml must load and resolve to a buildable task (make-smoke broke when
+    mdlm_smoke.yaml carried a label, not a task, in task_name)."""
+    from esmdiff_tpu.train.config import load_config
+    from esmdiff_tpu.train.loop import build_task
+
+    for cfg_file in ("configs/mdlm.yaml", "configs/mdlm_smoke.yaml",
+                     "configs/clm.yaml", "configs/jlm.yaml"):
+        cfg = load_config(cfg_file)
+        loss_fn, init_fn = build_task(cfg, emb_dim=32)
+        assert callable(loss_fn) and callable(init_fn), cfg_file
