@@ -69,9 +69,19 @@ def main(argv=None):
         print(f"[sweep] trial {trial}: {sampled}")
         try:
             res = train(cfg)
-            results.append({"trial": trial, "params": sampled,
-                            "val_loss": res["best_val_loss"],
-                            "steps": res["steps"]})
+            val = res["best_val_loss"]
+            import math
+
+            if not math.isfinite(val):
+                # empty val split / divergence: no optimization signal —
+                # record it as such (also keeps results.json valid JSON;
+                # json.dump would otherwise emit non-standard Infinity)
+                results.append({"trial": trial, "params": sampled,
+                                "val_loss": None, "steps": res["steps"],
+                                "error": f"non-finite val loss ({val})"})
+            else:
+                results.append({"trial": trial, "params": sampled,
+                                "val_loss": val, "steps": res["steps"]})
         except Exception as e:  # survive member failures (task_wrapper)
             print(f"[sweep] trial {trial} failed: {e}")
             results.append({"trial": trial, "params": sampled,
