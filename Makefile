@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench native tmscore pdbio smoke clean
+.PHONY: test test-fast bench native tmscore pdbio smoke serve quality clean
 
 test:
 	python -m pytest tests/ -q
@@ -17,6 +17,15 @@ native: tmscore pdbio
 
 bench:
 	python bench.py
+
+# resident sampling server (tiny model for local dev; use --ckpt + full scale
+# in production)
+serve:
+	python -m esmdiff_tpu.cli.serve --model_scale tiny --mode gibbs --port 8000
+
+# end-to-end coordinate-level quality experiment (PERF.md table)
+quality:
+	JAX_PLATFORM_NAME=cpu python scripts/quality_loop.py
 
 # 5-minute end-to-end smoke: dump a tiny corpus, train 2 epochs, sample, analyze
 smoke:
