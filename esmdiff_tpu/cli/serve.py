@@ -307,6 +307,10 @@ def main(argv=None):
     p.add_argument("--warmup_lengths", type=str, default=None,
                    help="Comma-separated sequence lengths to precompile "
                         "before accepting traffic (e.g. 64,128,256).")
+    # Override the sampler CLI's default of 25: None means "not set by the
+    # operator", so warmup precompiles the per-mode default /sample will use
+    # (ddpm 25, gibbs 16) instead of string-sniffing argv (ADVICE round 2).
+    p.add_argument("--num_steps", type=int, default=None)
     args = p.parse_args(argv)
 
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
@@ -322,16 +326,13 @@ def main(argv=None):
     service = SamplerService(EnsembleSampler(runtime, mesh=mesh),
                              max_samples=args.max_samples)
     if args.warmup_lengths:
-        import sys as _sys
-
         lengths = [int(x) for x in args.warmup_lengths.split(",")]
         wreq = {"lengths": lengths, "mode": args.mode,
                 "num_samples": args.num_samples}
         # num_steps is part of the jit-cache key; only forward it when the
-        # operator set it explicitly — otherwise warm the per-mode default
-        # /sample will actually use (the inherited CLI default is 25, but a
-        # default gibbs request runs 16 steps)
-        if any(a.startswith("--num_steps") for a in (argv or _sys.argv[1:])):
+        # operator set it explicitly (None = parser default, so /sample's
+        # per-mode default applies: ddpm 25, gibbs 16)
+        if args.num_steps is not None:
             wreq["num_steps"] = args.num_steps
         print(f"[warmup] precompiling buckets for lengths {lengths} ...")
         rep = service.warmup(wreq)

@@ -196,7 +196,12 @@ def _native_parse_models(pdb_str: str,
     lib = _load_pdbio()
     if lib is None:
         return None
-    data = pdb_str.encode("utf-8", errors="replace")
+    try:
+        # Non-ASCII text would shift native byte columns vs Python's char
+        # columns; defer such input to the Python parser.
+        data = pdb_str.encode("ascii")
+    except UnicodeEncodeError:
+        return None
     ch = chain_id.encode()[:1] if chain_id else b"\x00"
     h = lib.pdbio_parse(data, len(data), ch)
     if not h:

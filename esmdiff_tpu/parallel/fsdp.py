@@ -30,16 +30,26 @@ MIN_SHARD_SIZE = 2**14
 
 
 def fsdp_sharding_for(leaf, mesh: Mesh,
-                      min_size: int = MIN_SHARD_SIZE) -> NamedSharding:
+                      min_size: int = MIN_SHARD_SIZE,
+                      stacked: bool | None = None) -> NamedSharding:
     """Shard the largest axis evenly divisible by the mesh size; prefer the
     trailing axis on ties (keeps scan-stacked leaves sharded within a layer,
-    not across layers)."""
+    not across layers).
+
+    ``stacked`` marks leaves whose axis 0 is a ``lax.scan`` layer stack —
+    that axis is never sharded (each scan iteration would gather one layer's
+    slice from every device).  ``None`` infers it from rank (>=3), the
+    pre-round-3 heuristic; ``fsdp_shardings`` passes the exact answer from
+    the tree path, covering rank-2 stacked leaves like (n_layers, d) LN
+    scales (ADVICE round 2)."""
     n = mesh.devices.size
     shape = tuple(np.shape(leaf))
     if n <= 1 or int(np.prod(shape, dtype=np.int64)) < min_size:
         return NamedSharding(mesh, P())
     best = None  # (dim, axis)
-    start = 1 if len(shape) >= 3 else 0  # skip the stacked-layer axis
+    if stacked is None:
+        stacked = len(shape) >= 3
+    start = 1 if (stacked and len(shape) >= 2) else 0
     for axis in range(start, len(shape)):
         dim = shape[axis]
         if dim % n == 0 and dim >= n and (best is None or dim >= best[0]):
@@ -51,9 +61,25 @@ def fsdp_sharding_for(leaf, mesh: Mesh,
     return NamedSharding(mesh, P(*spec))
 
 
+# Module names whose subtrees are lax.scan layer stacks (axis 0 = layer).
+STACKED_MODULE_KEYS = ("blocks",)
+
+
+def _is_stacked_path(path) -> bool:
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", None))
+        if name in STACKED_MODULE_KEYS:
+            return True
+    return False
+
+
 def fsdp_shardings(tree, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
     """Sharding pytree for params — and for optimizer state: moments share
     their param's shape so the same rule shards them identically, while
-    scalar counts/schedules fall through to replicated."""
-    return jax.tree.map(
-        lambda x: fsdp_sharding_for(x, mesh, min_size=min_size), tree)
+    scalar counts/schedules fall through to replicated.  Stacked-layer
+    leaves are identified by tree position (under a scanned ``blocks``
+    module), not rank, so rank-2 (n_layers, d) leaves never shard the layer
+    axis either."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: fsdp_sharding_for(
+            x, mesh, min_size=min_size, stacked=_is_stacked_path(p)), tree)

@@ -270,6 +270,7 @@ def train(cfg: TrainConfig) -> dict:
     best_val = float("inf")
     epochs_no_improve = 0
     global_step = int(jax.device_get(state.step))
+    local_step = 0  # steps executed in THIS process (global_step may resume)
     stop = False
     profiling = False
 
@@ -301,18 +302,22 @@ def train(cfg: TrainConfig) -> dict:
             key, k = jax.random.split(key)
             batch = pmesh.shard_batch(batch, mesh)
             # profiler window (reference debug/profiler.yaml analogue):
-            # trace steps [1, profile_steps] — step 0 is compile
-            if cfg.trainer.profile_steps > 0 and global_step == 1:
+            # trace local steps [1, profile_steps] — local step 0 is compile.
+            # Keyed on the per-process counter, not global_step, so the
+            # window still fires when resuming from a checkpoint (ADVICE
+            # round 2).
+            if cfg.trainer.profile_steps > 0 and local_step == 1:
                 jax.profiler.start_trace(str(run_dir / "profile"))
                 profiling = True
             state, metrics = train_step(state, batch, k)
-            if profiling and global_step >= cfg.trainer.profile_steps:
+            if profiling and local_step >= cfg.trainer.profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
-                print(f"[profile] trace of steps 1..{global_step} -> "
+                print(f"[profile] trace of local steps 1..{local_step} -> "
                       f"{run_dir / 'profile'}")
             global_step += 1
+            local_step += 1
             n_seen += 1
             if global_step % cfg.trainer.log_every_n_steps == 0 or \
                     cfg.trainer.fast_dev_run:

@@ -52,20 +52,67 @@ inline std::string strip(const char* s, int n) {
   return std::string(s + a, b - a);
 }
 
-inline float parse_f(const char* s, int n, bool* ok) {
-  char tmp[32];
-  if (n > 31) n = 31;
-  std::memcpy(tmp, s, n);
-  tmp[n] = 0;
+// Strict numeric parsing matching Python's float()/int() accept semantics on
+// the stripped token.  kDefer means "this token may parse differently in
+// Python (or raise there)" — the caller must abort the native parse so the
+// pure-Python fallback defines behavior (ADVICE round 2: the native path must
+// agree with Python on accept-vs-reject, not just on mutually accepted
+// files).  Tokens containing x/X/p/P/_ are deferred because strtof accepts
+// hex floats Python rejects and Python accepts digit-group underscores
+// strtof rejects.
+enum class NumParse { kOk, kEmpty, kDefer };
+
+inline NumParse strict_float(const char* s, int a, int b, int n, float* out) {
+  if (b > n) b = n;
+  if (a > b) a = b;
+  while (a < b && (s[a] == ' ' || s[a] == '\t')) ++a;
+  while (b > a && (s[b - 1] == ' ' || s[b - 1] == '\t')) --b;
+  if (a == b) return NumParse::kEmpty;
+  for (int i = a; i < b; ++i) {
+    unsigned char c = (unsigned char)s[i];
+    if (c >= 0x80 || c == 'x' || c == 'X' || c == 'p' || c == 'P' || c == '_')
+      return NumParse::kDefer;
+  }
+  char tmp[40];
+  int len = b - a;
+  if (len > 39) return NumParse::kDefer;
+  std::memcpy(tmp, s + a, len);
+  tmp[len] = 0;
   char* end = nullptr;
   float v = std::strtof(tmp, &end);
-  if (ok) *ok = (end != tmp);
-  return v;
+  if (end != tmp + len) return NumParse::kDefer;
+  *out = v;
+  return NumParse::kOk;
+}
+
+inline NumParse strict_int(const char* s, int a, int b, int n, int* out) {
+  if (b > n) b = n;
+  if (a > b) a = b;
+  while (a < b && (s[a] == ' ' || s[a] == '\t')) ++a;
+  while (b > a && (s[b - 1] == ' ' || s[b - 1] == '\t')) --b;
+  if (a == b) return NumParse::kEmpty;
+  int i = a;
+  if (s[i] == '+' || s[i] == '-') ++i;
+  if (i == b) return NumParse::kDefer;
+  for (; i < b; ++i)
+    if (s[i] < '0' || s[i] > '9') return NumParse::kDefer;
+  char tmp[16];
+  int len = b - a;
+  if (len > 15) return NumParse::kDefer;
+  std::memcpy(tmp, s + a, len);
+  tmp[len] = 0;
+  *out = (int)std::strtol(tmp, nullptr, 10);
+  return NumParse::kOk;
 }
 
 // Parse the lines of one model into residues (insertion-ordered, first
-// atom occurrence wins), matching _parse_model_lines.
-void parse_model(const std::vector<std::pair<const char*, int>>& lines,
+// atom occurrence wins), matching _parse_model_lines.  Returns false when a
+// line's semantics can't be reproduced with certainty (Python would raise
+// ValueError/IndexError on it, or might parse a numeric token differently) —
+// the caller then aborts the native parse and the Python fallback defines
+// accept/reject behavior.  Filter ORDER mirrors _parse_model_lines exactly:
+// a short line on a non-picked chain is skipped (not an error) in both.
+bool parse_model(const std::vector<std::pair<const char*, int>>& lines,
                  char chain_id, Model* out) {
   char picked = chain_id;
   std::unordered_map<int64_t, int> index;  // (resseq, icode) -> residue idx
@@ -75,10 +122,11 @@ void parse_model(const std::vector<std::pair<const char*, int>>& lines,
     bool is_atom = n >= 4 && std::memcmp(s, "ATOM", 4) == 0;
     bool is_het = n >= 6 && std::memcmp(s, "HETATM", 6) == 0;
     if (!is_atom && !is_het) continue;
-    if (n < 54) continue;  // malformed; numeric fields absent
-    std::string resname = strip(s + 17, 3);
+    std::string resname = strip(s + 17 > s + n ? s + n : s + 17,
+                                n > 20 ? 3 : (n > 17 ? n - 17 : 0));
     auto rit = g_res3_to_idx.find(resname);
     if (is_het && rit == g_res3_to_idx.end()) continue;
+    if (n < 22) return false;  // Python: line[21] raises IndexError
     char ch = s[21];
     if (picked == 0) picked = ch;
     if (ch != picked) continue;
@@ -87,9 +135,10 @@ void parse_model(const std::vector<std::pair<const char*, int>>& lines,
     std::string atom_name = strip(s + 12, 4);
     auto ait = g_atom_order.find(atom_name);
     if (ait == g_atom_order.end()) continue;
-    bool ok = false;
-    int resseq = (int)parse_f(s + 22, 4, &ok);
-    if (!ok) continue;
+    int resseq = 0;
+    if (strict_int(s, 22, 26, n, &resseq) != NumParse::kOk)
+      return false;  // Python: int() raises
+    if (n < 27) return false;  // Python: line[26] raises IndexError
     char icode = s[26];
     int64_t key = ((int64_t)resseq << 8) | (uint8_t)icode;
     auto it = index.find(key);
@@ -107,22 +156,29 @@ void parse_model(const std::vector<std::pair<const char*, int>>& lines,
     }
     Residue& r = out->residues[ri];
     int ai = ait->second;
-    if (r.mask[ai] != 0.0f) continue;  // setdefault: first occurrence wins
-    float x = parse_f(s + 30, 8, nullptr);
-    float y = parse_f(s + 38, 8, nullptr);
-    float z = parse_f(s + 46, 8, nullptr);
+    float x, y, z;
+    if (strict_float(s, 30, 38, n, &x) != NumParse::kOk ||
+        strict_float(s, 38, 46, n, &y) != NumParse::kOk ||
+        strict_float(s, 46, 54, n, &z) != NumParse::kOk)
+      return false;  // Python: float() raises on empty or malformed
     float b = 0.0f;
-    if (n >= 66) {
-      bool bok = false;
-      float bv = parse_f(s + 60, 6, &bok);
-      if (bok) b = bv;
+    switch (strict_float(s, 60, 66, n, &b)) {
+      case NumParse::kOk:
+        break;
+      case NumParse::kEmpty:
+        b = 0.0f;  // Python: float('') ValueError, caught -> 0.0
+        break;
+      case NumParse::kDefer:
+        return false;  // Python might parse it (e.g. 1_0) or catch -> 0.0
     }
+    if (r.mask[ai] != 0.0f) continue;  // setdefault: first occurrence wins
     r.pos[ai][0] = x;
     r.pos[ai][1] = y;
     r.pos[ai][2] = z;
     r.mask[ai] = 1.0f;
     r.bfac[ai] = b;
   }
+  return true;
 }
 
 }  // namespace
@@ -157,17 +213,21 @@ void pdbio_init(const char* atom_csv, const char* res3_csv,
   g_init = true;
 }
 
-// chain_id: 0 = auto-pick first chain per model.
+// chain_id: 0 = auto-pick first chain per model.  Returns nullptr when not
+// initialized OR when the input contains a line whose Python-parser
+// semantics the native path can't reproduce (the caller falls back to the
+// pure-Python parser, which raises or parses as appropriate).
 void* pdbio_parse(const char* buf, int64_t len, char chain_id) {
   if (!g_init) return nullptr;
   auto* ens = new Ensemble();
   std::vector<std::pair<const char*, int>> current;
   bool seen_model = false;
   bool current_has_atoms = false;
+  bool defer = false;
 
   auto flush = [&]() {
     ens->models.emplace_back();
-    parse_model(current, chain_id, &ens->models.back());
+    if (!parse_model(current, chain_id, &ens->models.back())) defer = true;
     if (ens->models.back().residues.empty()) ens->models.pop_back();
     current.clear();
     current_has_atoms = false;
@@ -195,6 +255,10 @@ void* pdbio_parse(const char* buf, int64_t len, char chain_id) {
     p = nl + 1;
   }
   if (!seen_model || current_has_atoms) flush();
+  if (defer) {
+    delete ens;
+    return nullptr;
+  }
   return ens;
 }
 

@@ -109,6 +109,27 @@ def test_fsdp_sharding_rules():
     assert all(x is None for x in s.spec)
 
 
+def test_fsdp_rank2_stacked_leaf_never_shards_layer_axis():
+    """A rank-2 scan-stacked leaf (n_layers, d) whose layer count is
+    divisible and LARGER than its feature dim must still shard the feature
+    axis, not the layer axis (ADVICE round 2).  Path-based detection: leaves
+    under a 'blocks' key are stacked."""
+    from esmdiff_tpu.parallel import fsdp
+
+    mesh = pmesh.make_mesh()
+    n = mesh.devices.size
+    # layer axis (4n) divisible and larger than feature dim (2n)
+    tree = {"transformer": {"blocks": {"ln": {"scale": np.zeros((4 * n,
+                                                                 2 * n))}}},
+            "head": {"kernel": np.zeros((4 * n, 2 * n))}}
+    sh = fsdp.fsdp_shardings(tree, mesh, min_size=1)
+    stacked_spec = sh["transformer"]["blocks"]["ln"]["scale"].spec
+    assert stacked_spec == jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+    # identical shape outside the stack still picks the largest axis
+    free_spec = sh["head"]["kernel"].spec
+    assert free_spec == jax.sharding.PartitionSpec(pmesh.DATA_AXIS, None)
+
+
 def test_fsdp_train_step_matches_ddp():
     """One FSDP (ZeRO-3) step must produce the same loss and updated params
     as the replicated (ddp) step — sharding is a layout, not a math change."""

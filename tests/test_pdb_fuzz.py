@@ -61,6 +61,11 @@ def test_fuzzed_pdb_never_crashes_and_backends_agree(monkeypatch):
         monkeypatch.setattr(protein_io, "_load_pdbio", lambda: None)
         prots_py = _parse(text)
         monkeypatch.undo()
+        # Accept/reject must agree, not just values on mutually accepted
+        # files: the native path defers to Python on any line whose Python
+        # semantics it can't reproduce, so a file rejected (exception) by one
+        # backend must be rejected by the other.
+        assert (prots_default is None) == (prots_py is None), trial
         if prots_default is not None and prots_py is not None:
             assert len(prots_default) == len(prots_py), trial
             for a, b in zip(prots_default, prots_py):
@@ -73,6 +78,19 @@ def test_fuzzed_pdb_never_crashes_and_backends_agree(monkeypatch):
     assert n_ok >= 30, f"only {n_ok}/60 fuzzed files parsed"
     if not native_available:
         pytest.skip("native pdbio not built — Python path fuzzed only")
+
+
+def test_corrupt_coordinate_rejected_by_both_backends(monkeypatch):
+    """ADVICE round 2: a corrupt x/y/z field must not be silently recorded as
+    0.0 by the native parser while the Python parser raises."""
+    base = open(BPTI).read()
+    lines = base.splitlines()
+    idx = next(i for i, l in enumerate(lines) if l.startswith("ATOM"))
+    lines[idx] = lines[idx][:30] + "xxxxxxxx" + lines[idx][38:]
+    text = "\n".join(lines)
+    assert _parse(text) is None  # native (or fallback) rejects
+    monkeypatch.setattr(protein_io, "_load_pdbio", lambda: None)
+    assert _parse(text) is None  # pure Python raises too
 
 
 def test_pathological_inputs_do_not_crash():
