@@ -118,8 +118,10 @@ def main():
                    help="Matrix mode: run only this length row.")
     args = p.parse_args()
 
-    from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
+    from esmdiff_tpu.utils.compilation_cache import (
+        CacheEventCounter, enable as _enable_cache)
     _enable_cache()
+    cache_events = CacheEventCounter().install()
 
     import jax
 
@@ -206,6 +208,9 @@ def main():
             "tflops_per_sec": round(flops / total / 1e12, 1),
             "mfu_vs_v5e_bf16": round(flops / total / V5E_BF16_PEAK, 3),
             "first_call_s": round(first_total, 1),
+            # interpretability of first_call_s (PERF.md gotcha #8): whether
+            # the persistent compile cache was hit or the buckets recompiled
+            "compile_cache": cache_events.snapshot(),
             "device": device,
         },
     }

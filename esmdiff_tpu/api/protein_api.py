@@ -56,14 +56,30 @@ class ESMProtein:
 
     @classmethod
     def from_npz(cls, path: str | Path):
-        """Load a curation-pipeline chain (cli/preprocess.py npz layout:
-        sequence, atom_positions, atom_mask) — the equivalent of the
-        reference dump's pickled-chain input mode
-        (scripts/dump.py:29-44,97-98)."""
+        """Load a curation-pipeline example (cli/preprocess.py npz layout:
+        sequence, atom_positions, atom_mask [, chain_index]) — the
+        equivalent of the reference dump's pickled input mode
+        (scripts/dump.py:29-44,97-98).
+
+        A multi-chain example (complex-mode preprocess) carries a
+        per-residue ``chain_index``; a '|' chainbreak is inserted in the
+        sequence at each chain transition with a NaN coordinate row, so the
+        encode path emits chainbreak tokens on both tracks (the ESM3
+        multichain convention the reference gets from the esm package)."""
         with np.load(path) as z:
             coords = z["atom_positions"].astype(np.float32).copy()
             coords[z["atom_mask"] < 0.5] = np.nan
             seq = str(z["sequence"])
+            chain_index = (z["chain_index"] if "chain_index" in z.files
+                           else None)
+        if chain_index is not None:
+            breaks = np.where(np.diff(chain_index) != 0)[0]
+            if len(breaks):
+                coords = np.insert(coords, breaks + 1, np.nan, axis=0)
+                chars = list(seq)
+                for b in reversed(breaks.tolist()):
+                    chars.insert(b + 1, "|")
+                seq = "".join(chars)
         return cls(sequence=seq, coordinates=coords)
 
     def to_pdb(self, path: str | Path):
@@ -189,6 +205,12 @@ class ESM3Runtime:
                 tokens.astype(np.int32))
             structure[0] = C.STRUCTURE_BOS_TOKEN
             structure[-1] = C.STRUCTURE_EOS_TOKEN
+            # multichain: tie structure chainbreaks to the sequence ones
+            # (the esm package's encode does this; the trunk additionally
+            # re-ties at embed time, models/esm3.py:309-321)
+            structure = np.where(
+                seq_tokens == C.SEQUENCE_CHAINBREAK_TOKEN,
+                np.int32(C.STRUCTURE_CHAINBREAK_TOKEN), structure)
         return ESMProteinTensor(
             sequence=seq_tokens,
             structure=structure,

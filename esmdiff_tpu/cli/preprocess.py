@@ -21,9 +21,22 @@ from __future__ import annotations
 import argparse
 import csv
 import multiprocessing as mp
+import string
 from pathlib import Path
 
 import numpy as np
+
+# Chain-character -> integer map (reference scripts/preprocess.py:31-37);
+# multi-char chain ids compose positionally (chain_str_to_int, :63-70).
+ALPHANUMERIC = string.ascii_letters + string.digits + " "
+CHAIN_TO_INT = {c: i for i, c in enumerate(ALPHANUMERIC)}
+
+
+def chain_str_to_int(chain_str: str) -> int:
+    out = 0
+    for i, ch in enumerate(chain_str):
+        out += CHAIN_TO_INT.get(ch, 0) + i * len(ALPHANUMERIC)
+    return out
 
 
 class DataProcessingError(Exception):
@@ -42,8 +55,74 @@ class LengthError(DataProcessingError):
     pass
 
 
+def _process_complex(obj, pdb_name, out_dir, min_len, max_len, with_dssp,
+                     res, quaternary):
+    """Merge all chains of one entry into a single training example
+    (reference preprocess.py mode='complex', :400-426): per-residue
+    ``chain_index`` via chain_str_to_int, concatenated atom37 features, and
+    unmodeled (UNK) termini stripped (strip_feats_by_modeled_idx, :225-236).
+    The dump stage inserts chainbreak tokens at chain transitions
+    (api/protein_api.ESMProtein.from_npz)."""
+    from esmdiff_tpu.core import residue_constants as rc
+
+    items = sorted(obj.chains.items())
+    aatype = np.concatenate([p.aatype for _, p in items])
+    pos = np.concatenate([p.atom_positions for _, p in items])
+    mask = np.concatenate([p.atom_mask for _, p in items])
+    residx = np.concatenate([p.residue_index for _, p in items])
+    chain_index = np.concatenate([
+        np.full((len(p.aatype),), chain_str_to_int(cid), np.int32)
+        for cid, p in items])
+    seq = "".join(p.sequence for _, p in items)
+    raw_len = len(aatype)
+
+    modeled = np.where(aatype != rc.unk_restype_index)[0]
+    if len(modeled) == 0:
+        return {"file": pdb_name, "status": "no_modeled_residues"}
+    lo, hi = int(modeled.min()), int(modeled.max()) + 1
+    aatype, pos, mask, residx, chain_index = (
+        a[lo:hi] for a in (aatype, pos, mask, residx, chain_index))
+    seq = seq[lo:hi]
+    L = len(aatype)
+    if L < min_len or L > max_len:
+        return {"file": pdb_name, "status": f"length_filtered ({L})"}
+
+    arrays = dict(
+        aatype=aatype, atom_positions=pos, atom_mask=mask,
+        residue_index=residx, chain_index=chain_index,
+        sequence=np.array(seq),
+    )
+    ss_cols = {}
+    if with_dssp:
+        from esmdiff_tpu.core import protein as protein_io
+        from esmdiff_tpu.core.secondary_structure import (
+            assign_secondary_structure, ss_fractions)
+
+        merged = protein_io.Protein(
+            pos, mask, aatype, residx,
+            np.zeros_like(mask))
+        ss = assign_secondary_structure(merged)
+        arrays["secondary_structure"] = np.array(ss)
+        ss_cols = {"secondary_structure": ss, **{
+            k: round(v, 4) for k, v in ss_fractions(ss).items()}}
+    np.savez_compressed(Path(out_dir) / f"{pdb_name}.npz", **arrays)
+    return {
+        **ss_cols,
+        "file": pdb_name, "status": "ok", "length": L,
+        "resolution": res if res is not None else "",
+        "method": obj.header.method,
+        "release_date": obj.header.release_date,
+        "pdb_name": pdb_name,
+        "num_chains": len(obj.chains),
+        "quaternary_category": quaternary,
+        "oligomeric_detail": obj.header.oligomeric_detail,
+        "raw_seq_len": raw_len,
+        "modeled_seq_len": L,
+    }
+
+
 def process_one(args):
-    path, out_dir, max_resolution, min_len, max_len, with_dssp = args
+    path, out_dir, max_resolution, min_len, max_len, with_dssp, mode = args
     from esmdiff_tpu.core import mmcif
 
     rows = []
@@ -60,6 +139,9 @@ def process_one(args):
     pdb_name = Path(path).stem.split(".")[0]
     seqs = {p.sequence for p in obj.chains.values()}
     quaternary = "homomer" if len(seqs) <= 1 else "heteromer"
+    if mode == "complex":
+        return [_process_complex(obj, pdb_name, out_dir, min_len, max_len,
+                                 with_dssp, res, quaternary)]
     for cid, prot in obj.chains.items():
         L = len(prot.aatype)
         name = f"{pdb_name}_{cid}"
@@ -167,6 +249,13 @@ def main(argv=None):
                    help="Keep only chains whose assemblies are all this "
                         "oligomeric_detail ('' disables; reference "
                         "filter_metadata.py:77-81).")
+    p.add_argument("--mode", type=str, default="chain",
+                   choices=["chain", "complex"],
+                   help="'chain' = one example per chain (rounds 1-2 "
+                        "behavior); 'complex' = merge all chains of an entry "
+                        "into one example with per-residue chain_index and "
+                        "unmodeled-termini stripping (the reference's "
+                        "DEFAULT, scripts/preprocess.py:450,400-426).")
     p.add_argument("--with_dssp", action="store_true",
                    help="Record 3-state secondary structure + fractions per "
                         "chain (in-repo Kabsch-Sander, "
@@ -191,7 +280,7 @@ def main(argv=None):
     )
     print(f"[preprocess] {len(files)} mmCIF files")
     work = [(str(f), str(out_dir), args.max_resolution, args.min_len,
-             args.max_len, args.with_dssp) for f in files]
+             args.max_len, args.with_dssp, args.mode) for f in files]
     if args.num_workers > 1:
         with mp.Pool(args.num_workers) as pool:
             all_rows = pool.map(process_one, work)
@@ -201,6 +290,8 @@ def main(argv=None):
     fields = ["file", "status", "length", "resolution", "method",
               "release_date", "pdb_name", "num_chains",
               "quaternary_category", "oligomeric_detail"]
+    if args.mode == "complex":
+        fields += ["raw_seq_len", "modeled_seq_len"]
     if args.with_dssp:
         fields += ["secondary_structure", "frac_helix", "frac_sheet",
                    "frac_coil"]

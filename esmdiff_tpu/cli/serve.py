@@ -23,9 +23,11 @@ Endpoints (JSON over HTTP, stdlib-only — no server framework dependency):
                  -> per-length compile/run seconds (pre-pays the bucket
                     executables so the first real request runs warm)
 
-Device work is serialized by a lock: one sampler, many HTTP threads — TPU
-programs already saturate the chip per request, so request-level concurrency
-would only fragment HBM.
+Device work is serialized per PHASE by two locks (trunk sampling, VQ
+decode): one sampler, many HTTP threads — a TPU program saturates the chip,
+so same-phase concurrency would only fragment HBM, but request B's sampling
+can enqueue behind request A's decode (scripts/serve_load.py measures the
+multi-client throughput).
 """
 
 from __future__ import annotations
@@ -72,10 +74,18 @@ class SamplerService:
     def __init__(self, sampler: EnsembleSampler, max_samples: int = 512):
         self.sampler = sampler
         self.max_samples = max_samples
-        self._lock = threading.Lock()
+        # Two-phase device locking (VERDICT round 2 item 8): trunk sampling
+        # and VQ decode hold SEPARATE locks, so request B's sampling program
+        # enqueues on the device right behind request A's decode instead of
+        # waiting for A's whole request.  JAX dispatch is async — the chip
+        # pipelines the queued executables; the locks only serialize
+        # same-phase access to the shape-keyed jit caches.
+        self._sample_lock = threading.Lock()
+        self._decode_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self._n_requests = 0
-        # per-mode latency aggregates, updated under the lock; /healthz reads
-        # a snapshot without it (atomic dict copy under the GIL)
+        # per-mode latency aggregates; /healthz reads a snapshot without the
+        # lock (atomic dict copy under the GIL)
         self._stats: dict = {}
 
     # -- introspection ---------------------------------------------------------
@@ -155,8 +165,8 @@ class SamplerService:
                 f"'sequence' length {len(seq)} != 'pdb' prior length "
                 f"{len(prior_prot.sequence)}")
 
-        with self._lock:
-            t0 = time.time()
+        t0 = time.time()
+        with self._sample_lock:
             if mode == "gibbs":
                 tokens = self.sampler.gibbs_ensemble(
                     seq, n,
@@ -185,16 +195,18 @@ class SamplerService:
                     temperature=temperature, top_p=top_p,
                     max_steps=steps * 8, seed=seed,
                 )
-            t_tokens = time.time() - t0
-            prots = None
-            if fmt == "pdb":
-                # VQ decode needs the device -> stays under the lock
+        t_tokens = time.time() - t0
+        prots = None
+        if fmt == "pdb":
+            # phase 2: VQ decode under its own lock — request B's trunk
+            # sampling may already be enqueuing on the device
+            with self._decode_lock:
                 prots = self.sampler.decode_ensemble(seq, tokens)
-            # device work done: record stats, release the lock, and do the
-            # pure-CPU PDB text formatting outside it so queued sampling
-            # requests can use the chip meanwhile
+        # device work done: record stats and do the pure-CPU PDB text
+        # formatting without any device lock
+        wall = time.time() - t0
+        with self._stats_lock:
             self._n_requests += 1
-            wall = time.time() - t0
             st = self._stats.setdefault(
                 mode, {"count": 0, "last_sec": 0.0, "mean_sec": 0.0})
             st["count"] += 1

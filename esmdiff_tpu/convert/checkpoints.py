@@ -25,6 +25,43 @@ def _is_orbax_dir(path: Path) -> bool:
     return path.is_dir()
 
 
+def save_vqvae(out_dir, encoder_cfg, encoder_params,
+               decoder_cfg, decoder_params) -> None:
+    """Persist a (trained) VQ-VAE pair: orbax params + geometry json.  The
+    campaign-trained mid-size decoder loads back through
+    ``load_runtime(..., vqvae_ckpt=...)`` / ``--vqvae_ckpt``."""
+    import dataclasses
+    import json
+
+    import orbax.checkpoint as ocp
+
+    out = Path(out_dir).absolute()
+    out.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out / "params", jax.device_get(
+        {"encoder": encoder_params, "decoder": decoder_params}), force=True)
+    ckptr.wait_until_finished()
+    (out / "vqvae.json").write_text(json.dumps({
+        "encoder_cfg": dataclasses.asdict(encoder_cfg),
+        "decoder_cfg": dataclasses.asdict(decoder_cfg),
+    }, indent=2))
+
+
+def load_vqvae(ckpt_dir):
+    """-> (encoder_cfg, encoder_params, decoder_cfg, decoder_params)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+    path = Path(ckpt_dir).absolute()
+    meta = json.loads((path / "vqvae.json").read_text())
+    params = ocp.StandardCheckpointer().restore(path / "params")
+    return (EncoderConfig(**meta["encoder_cfg"]), params["encoder"],
+            DecoderConfig(**meta["decoder_cfg"]), params["decoder"])
+
+
 def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None,
                  trunk_cfg=None, **runtime_kwargs):
     """Build an ESM3Runtime for sampling from a checkpoint path."""
@@ -33,7 +70,7 @@ def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None,
 
     path = Path(ckpt_path)
     if _is_orbax_dir(path):
-        return _load_runtime_from_orbax(path)
+        return _load_runtime_from_orbax(path, vqvae_ckpt=vqvae_ckpt)
 
     # torch file: pretrained/fine-tuned trunk weights
     from .torch_to_jax import convert_trunk, load_torch_state_dict, strip_prefix
@@ -52,11 +89,13 @@ def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None,
     return runtime
 
 
-def _load_runtime_from_orbax(path: Path):
+def _load_runtime_from_orbax(path: Path, vqvae_ckpt: Optional[str] = None):
     """Restore a runtime from a training-run checkpoint directory.
 
     Accepts either the ckpt dir (picks the best entry from index.json) or a
     specific step_N dir.  Rebuilds the model from the run's config.yaml.
+    ``vqvae_ckpt`` = a save_vqvae dir pairing the trunk with TRAINED
+    encoder/decoder weights (the quality-campaign path).
     """
     import json
 
@@ -87,7 +126,14 @@ def _load_runtime_from_orbax(path: Path):
     state = ocp.StandardCheckpointer().restore(
         step_dir.absolute(), jax.device_get(target))
 
-    if cfg.model.size == "tiny":
+    if vqvae_ckpt:
+        enc_cfg, enc_params, dec_cfg, dec_params = load_vqvae(vqvae_ckpt)
+        runtime = ESM3Runtime.random_init(
+            trunk_cfg=mdlm.net.cfg, encoder_cfg=enc_cfg, decoder_cfg=dec_cfg)
+        runtime.encoder_params = enc_params
+        runtime.decoder_params = dec_params
+        print(f"[load_runtime] trained VQ-VAE from {vqvae_ckpt}")
+    elif cfg.model.size == "tiny":
         from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
         runtime = ESM3Runtime.random_init(

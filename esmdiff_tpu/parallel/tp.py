@@ -81,6 +81,49 @@ def mdlm_param_shardings(params, mesh: Mesh):
     }
 
 
+def _path_names(path) -> tuple[str, ...]:
+    out = []
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", None))
+        if name is not None:
+            out.append(str(name))
+    return tuple(out)
+
+
+def tp_shardings_for_tree(tree, mesh: Mesh, zero_data: bool = False):
+    """TP shardings for ANY pytree containing trunk-shaped subtrees (params
+    or optimizer moments — optax moments mirror the param tree, so the same
+    path-suffix rules shard them identically).  Leaves with no TP rule are
+    replicated, or ZeRO-sharded on ``data`` when ``zero_data`` (the ZeRO-2 x
+    TP composition used by ``trainer.strategy=dpNxtpM`` for optimizer
+    state)."""
+    from .mesh import zero_sharding_for
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(path, leaf):
+        names = _path_names(path)
+        spec = _spec_for(names, np.ndim(leaf), np.shape(leaf), n_model)
+        if spec == P() and zero_data:
+            return zero_sharding_for(leaf, mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def parse_tp_strategy(strategy: str):
+    """'dp{N}xtp{M}' or 'tp{M}' -> (n_data, n_model); None otherwise."""
+    import re
+
+    m = re.fullmatch(r"dp(\d+)xtp(\d+)", strategy)
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    m = re.fullmatch(r"tp(\d+)", strategy)
+    if m:
+        return 1, int(m.group(1))
+    return None
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 

@@ -47,7 +47,13 @@ class JLMModelConfig:
 @dataclasses.dataclass
 class ModelConfig:
     # trunk
-    size: str = "full"            # full | tiny
+    size: str = "full"            # full | tiny | custom
+    # custom trunk geometry (size="custom"; 0 = ESM3 default) — the
+    # mid-scale quality-campaign regime between tiny tests and the 1.4B full
+    d_model: int = 0
+    n_heads: int = 0
+    n_layers: int = 0
+    v_heads: int = 0
     pretrained_ckpt: Optional[str] = None  # torch ckpt to convert & load
     n_structure_heads: int = 4101
     n_sequence_heads: int = 0

@@ -37,6 +37,17 @@ def build_mdlm(cfg: TrainConfig) -> MDLM:
             dtype=m.dtype, param_dtype=m.param_dtype, head_type="structure",
             n_structure_heads=m.n_structure_heads,
             n_sequence_heads=m.n_sequence_heads, remat=m.remat)
+    elif m.size == "custom":
+        # mid-scale campaign geometry: explicit dims (0 = ESM3 default)
+        base = ESM3Config()
+        trunk_cfg = ESM3Config(
+            d_model=m.d_model or base.d_model,
+            n_heads=m.n_heads or base.n_heads,
+            n_layers=m.n_layers or base.n_layers,
+            v_heads=m.v_heads or base.v_heads,
+            dtype=m.dtype, param_dtype=m.param_dtype, head_type="structure",
+            n_structure_heads=m.n_structure_heads,
+            n_sequence_heads=m.n_sequence_heads, remat=m.remat)
     else:
         trunk_cfg = ESM3Config(
             dtype=m.dtype, param_dtype=m.param_dtype, head_type="structure",
@@ -236,9 +247,26 @@ def train(cfg: TrainConfig) -> dict:
         lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
         warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
 
-    mesh = pmesh.make_data_mesh_for_batch(cfg.data.batch_size)
-    print(f"[mesh] data axis over {mesh.devices.size} device(s), "
-          f"strategy={cfg.trainer.strategy}")
+    from esmdiff_tpu.parallel import tp as tp_mod
+
+    tp_shape = tp_mod.parse_tp_strategy(cfg.trainer.strategy)
+    if tp_shape is not None:
+        # trainer.strategy=dpNxtpM: 2-D (data, model) mesh — Megatron-style
+        # tensor parallelism from pure GSPMD annotations (parallel/tp.py),
+        # the production envelope for fp32 reference-parity fine-tuning
+        # that OOMs on one chip (PERF.md)
+        n_data, n_model = tp_shape
+        if cfg.data.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by "
+                f"dp={n_data} in strategy {cfg.trainer.strategy!r}")
+        mesh = tp_mod.make_2d_mesh(n_data, n_model)
+        print(f"[mesh] 2-D dp{n_data} x tp{n_model}, "
+              f"strategy={cfg.trainer.strategy}")
+    else:
+        mesh = pmesh.make_data_mesh_for_batch(cfg.data.batch_size)
+        print(f"[mesh] data axis over {mesh.devices.size} device(s), "
+              f"strategy={cfg.trainer.strategy}")
     state = tstate.create_sharded_train_state(
         params, optimizer, mesh, strategy=cfg.trainer.strategy)
 

@@ -85,7 +85,21 @@ def state_shardings(state: TrainState, mesh: Mesh,
             params=fsdp.fsdp_shardings(state.params, mesh),
             opt_state=fsdp.fsdp_shardings(state.opt_state, mesh),
         )
-    raise ValueError(f"unknown strategy: {strategy!r} (ddp | zero2 | fsdp)")
+    from esmdiff_tpu.parallel import tp
+
+    if tp.parse_tp_strategy(strategy) is not None:
+        # 2-D (data, model): Megatron-style TP param shardings + ZeRO-2
+        # moments on data for the non-TP leaves (the fp32 reference-parity
+        # envelope that OOMs on one chip, PERF.md) — the mesh must be the
+        # 2-D one from tp.make_2d_mesh (built by train() from the strategy).
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=tp.tp_shardings_for_tree(state.params, mesh),
+            opt_state=tp.tp_shardings_for_tree(state.opt_state, mesh,
+                                               zero_data=True),
+        )
+    raise ValueError(
+        f"unknown strategy: {strategy!r} (ddp | zero2 | fsdp | dpNxtpM)")
 
 
 def create_sharded_train_state(params, optimizer, mesh: Mesh,

@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 
 
-def enable(cache_dir: str | None = None) -> None:
+def enable(cache_dir: str | None = None) -> str | None:
     cache_dir = cache_dir or os.environ.get(
         "ESMDIFF_COMPILATION_CACHE",
         os.path.expanduser("~/.cache/esmdiff_tpu_xla"),
@@ -21,5 +21,44 @@ def enable(cache_dir: str | None = None) -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        return cache_dir
     except Exception as e:  # cache is an optimization, never fatal
         print(f"[warn] persistent compilation cache unavailable: {e}")
+        return None
+
+
+class CacheEventCounter:
+    """Counts persistent-cache hit/miss monitoring events — makes cold-start
+    numbers interpretable (PERF.md gotcha #8: executable loads over the
+    tunnel vary 227-455 s with a populated cache; bench.py reports whether a
+    first call was a cache hit, a miss, or a partial reload)."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+        self._registered = False
+
+    def install(self) -> "CacheEventCounter":
+        try:
+            from jax import monitoring
+
+            def _on_event(event: str, **kw):
+                if "cache" in event:
+                    self.counts[event] = self.counts.get(event, 0) + 1
+
+            def _on_duration(event: str, duration: float, **kw):
+                if "cache" in event:
+                    self.counts[event] = self.counts.get(event, 0) + 1
+
+            monitoring.register_event_listener(_on_event)
+            # cache misses are recorded as durations (compile time) in jax
+            monitoring.register_event_duration_secs_listener(_on_duration)
+            self._registered = True
+        except Exception:
+            pass
+        return self
+
+    def snapshot(self) -> dict:
+        hits = sum(v for k, v in self.counts.items() if "hit" in k)
+        misses = sum(v for k, v in self.counts.items() if "miss" in k)
+        return {"cache_hits": hits, "cache_misses": misses,
+                "events": dict(self.counts), "listener": self._registered}

@@ -1,6 +1,7 @@
 """CLI surface tests: analyze subcommands, sweep sampling, plots, logging."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -113,6 +114,65 @@ def test_sweep_main_survives_member_failure(tmp_path, monkeypatch):
     # every trial got a distinct sampled lr within the space
     lrs = [r["params"]["optim.lr"] for r in results]
     assert len(set(lrs)) == 3 and all(1e-6 <= v <= 1e-4 for v in lrs)
+
+
+def test_sweep_successive_halving_stops_bad_trials(tmp_path, monkeypatch):
+    """--search sha: all trials run at rung 0 on the small budget; only the
+    top 1/eta are promoted and resumed, so bad configurations never consume
+    a full budget (role-parity with the reference's Optuna pruning,
+    configs/hparams_search/optuna.yaml:16-40)."""
+    import yaml
+
+    from esmdiff_tpu.cli import sweep
+    from esmdiff_tpu.train import loop as train_loop
+
+    seen = []
+
+    def fake_train(cfg):
+        # quality determined by lr distance from 1e-5; resumed runs improve
+        lr = cfg.optim.lr
+        resumed = bool(cfg.trainer.resume)
+        seen.append({"lr": lr, "epochs": cfg.trainer.max_epochs,
+                     "resumed": resumed})
+        import math as m
+
+        # resumed rungs improve in proportion to their extra budget
+        loss = abs(m.log10(lr) - m.log10(1e-5)) \
+            - (0.2 * cfg.trainer.max_epochs if resumed else 0.0)
+        # emulate a checkpoint index so promotion can resume
+        ck = Path(cfg.trainer.ckpt_dir) / "ckpt"
+        ck.mkdir(parents=True, exist_ok=True)
+        (ck / "index.json").write_text(json.dumps(
+            [{"path": str(ck / "best"), "val_loss": loss}]))
+        return {"best_val_loss": loss, "steps": cfg.trainer.max_epochs,
+                "wall_s": 0.0, "ckpt_dir": cfg.trainer.ckpt_dir}
+
+    monkeypatch.setattr(train_loop, "train", fake_train)
+    space = tmp_path / "space.yaml"
+    space.write_text(yaml.safe_dump(
+        {"space": {"optim.lr": {"type": "loguniform",
+                                "low": 1e-7, "high": 1e-2}}}))
+    out = tmp_path / "sha_out"
+    sweep.main(["--config", "configs/mdlm_smoke.yaml",
+                "--space", str(space), "--n_trials", "4", "--search", "sha",
+                "--eta", "2", "--min_epochs", "1", "--max_epochs", "4",
+                "--output", str(out), "data.path=/nonexistent-unused"])
+    results = json.loads((out / "results.json").read_text())
+    by_rung = {}
+    for r in results:
+        by_rung.setdefault(r["rung"], []).append(r)
+    # rung 0 ran all 4; rung 1 promoted 2; rung 2 promoted 1
+    assert len(by_rung[0]) == 4
+    assert len(by_rung[1]) == 2
+    assert len(by_rung[2]) == 1
+    # promoted runs resumed from a checkpoint
+    assert sum(1 for s in seen if s["resumed"]) == 3
+    # the rung-1+ survivors were the rung-0 best
+    r0_sorted = sorted(by_rung[0], key=lambda r: r["val_loss"])
+    promoted_trials = {r["trial"] for r in by_rung[1]}
+    assert promoted_trials == {r["trial"] for r in r0_sorted[:2]}
+    best = json.loads((out / "best.json").read_text())
+    assert best["rung"] == 2
 
 
 def test_plots_render(tmp_path):

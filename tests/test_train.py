@@ -152,6 +152,44 @@ def test_train_loop_fsdp_strategy(corpus, tmp_path):
     assert result2["steps"] == best_entry["step"] + 1
 
 
+@pytest.mark.slow
+def test_train_loop_tp_strategy(corpus, tmp_path):
+    """VERDICT round 2 item 6: trainer.strategy=dp2xtp4 runs through the
+    production train CLI path — 2-D (data, model) mesh, Megatron-style TP
+    param shardings (parallel/tp.py), ZeRO moments on data, loss parity
+    with the replicated run."""
+    from esmdiff_tpu.train.loop import train
+
+    common = [
+        f"data.path={corpus}", "data.batch_size=2", "data.max_len=24",
+        "data.bucket_multiple=8",
+        "model.size=tiny", "model.dtype=float32", "model.remat=false",
+        "trainer.max_epochs=1", "trainer.log_every_n_steps=1",
+    ]
+    cfg = load_config(None, common + [
+        "trainer.strategy=dp2xtp4", f"trainer.ckpt_dir={tmp_path}/tp",
+    ])
+    result = train(cfg)
+    assert np.isfinite(result["best_val_loss"])
+
+    cfg2 = load_config(None, common + [
+        "trainer.strategy=ddp", f"trainer.ckpt_dir={tmp_path}/ddp",
+    ])
+    result2 = train(cfg2)
+    # sharding is a layout, not a math change
+    assert result["best_val_loss"] == pytest.approx(
+        result2["best_val_loss"], rel=1e-4)
+
+
+def test_parse_tp_strategy():
+    from esmdiff_tpu.parallel.tp import parse_tp_strategy
+
+    assert parse_tp_strategy("dp4xtp2") == (4, 2)
+    assert parse_tp_strategy("tp8") == (1, 8)
+    assert parse_tp_strategy("fsdp") is None
+    assert parse_tp_strategy("dpxtp") is None
+
+
 def test_config_yaml_and_overrides(tmp_path):
     y = tmp_path / "exp.yaml"
     y.write_text("task_name: test\noptim:\n  lr: 3.0e-4\n")
