@@ -26,7 +26,8 @@ from esmdiff_tpu.core import protein as protein_io
 def build_runtime(args) -> ESM3Runtime:
     if args.ckpt:
         from esmdiff_tpu.convert.checkpoints import load_runtime
-        return load_runtime(args.ckpt)
+        return load_runtime(args.ckpt,
+                            vqvae_ckpt=getattr(args, "vqvae_ckpt", None))
     from esmdiff_tpu.models.esm3 import ESM3Config, esm3_tiny
     from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
@@ -54,6 +55,10 @@ def get_argparser():
     p.add_argument("--ckpt", type=str, default=None,
                    help="Checkpoint (orbax dir or converted .pt). None = "
                         "random weights (dev only).")
+    p.add_argument("--vqvae_ckpt", type=str, default=None,
+                   help="Trained VQ-VAE dir (convert.checkpoints.save_vqvae "
+                        "layout) to pair with --ckpt — the quality-campaign "
+                        "path (scripts/quality_campaign.py).")
     p.add_argument("--output", type=str, default="output/inference_esmdiff")
     p.add_argument("--mode", type=str, default="gibbs",
                    choices=["gibbs", "ddpm", "eb"],

@@ -108,10 +108,21 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(B, L, self.n_heads, dh)
         k = k.reshape(B, L, self.n_heads, dh)
         v = v.reshape(B, L, self.n_heads, dh)
-        q = apply_rotary(q, rot_cos, rot_sin)
-        k = apply_rotary(k, rot_cos, rot_sin)
-        o = dot_product_attention(q, k, v, mask=mask, lengths=lengths,
-                                  backend=self.attn_backend)
+        if self.attn_backend == "small" and mask is None:
+            # OPT-IN fused short-L path: rotary + scores + softmax + P*V in
+            # one VMEM pass (ops/small_attention.py).  Measured round 3
+            # (PERF.md): in-scan it LOSES to XLA at every protein length
+            # (L=64: 95.9 vs 93.9 ms/step; L=128: 210.9 vs 167.9) — XLA's
+            # fused attention + cross-op scheduling is the frontier here, so
+            # "auto" never selects this kernel.
+            from esmdiff_tpu.ops.small_attention import small_attention
+
+            o = small_attention(q, k, v, rot_cos, rot_sin, lengths)
+        else:
+            q = apply_rotary(q, rot_cos, rot_sin)
+            k = apply_rotary(k, rot_cos, rot_sin)
+            o = dot_product_attention(q, k, v, mask=mask, lengths=lengths,
+                                      backend=self.attn_backend)
         o = o.reshape(B, L, self.d_model)
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype,

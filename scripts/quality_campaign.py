@@ -1,0 +1,484 @@
+"""Mid-scale quality campaign over the full in-repo benchmark corpus.
+
+VERDICT round 2 item 3: train a mid-size (~100M) VQ-VAE decoder + MDLM on
+the 282 benchmark structures shipped with the reference
+(data/targets/{bpti,apo,codnas,ped}), generate conformation ensembles with
+the PRODUCTION CLIs, and run the analysis suites end-to-end, publishing the
+tables.  No pretrained weights exist in this environment, so the campaign
+is self-consistent (fixed random mid-size VQ encoder defines the token
+space, decoder + MDLM trained from scratch); the claim is the machinery at
+scale and real chip-hours, not reference-paper quality.
+
+The reference snapshot ships neither the DESRES BPTI trajectory, the full
+PED ensembles (single representative models only), nor the apo/codnas pair
+CSVs (analysis/readme.md points at external downloads), so the evaluable
+metrics here are: TM-ensemble (best sample-vs-target TM), TM-diversity,
+clash/CA-bond validity, and the PED MAE suite vs the shipped structures.
+
+Stages (run in order; each resumes from the previous stage's artifacts):
+
+  python scripts/quality_campaign.py prepare        # corpus -> tokens
+  python scripts/quality_campaign.py train_decoder  # tokens -> backbone
+  python scripts/quality_campaign.py dump           # MDLM training npzs
+  python scripts/quality_campaign.py train_mdlm     # production esmdiff-train
+  python scripts/quality_campaign.py sample         # production esmdiff-sample
+  python scripts/quality_campaign.py analyze        # metrics tables
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TARGETS_ROOT = Path("/root/reference/data/targets")
+FAMILIES = ("bpti", "apo", "codnas", "ped")
+MAX_LEN = 318          # residues; padded to PAD_L with specials
+PAD_L = 320            # single padded length -> one compile bucket
+SEED = 0
+
+
+def out_root(args) -> Path:
+    return Path(args.out)
+
+
+# ---------------------------------------------------------------------------
+# geometries (mid-scale: between the tiny test configs and the 1.4B full)
+# ---------------------------------------------------------------------------
+
+def encoder_cfg():
+    from esmdiff_tpu.models.vqvae import EncoderConfig
+
+    return EncoderConfig(d_model=256, n_heads=4, v_heads=32, n_layers=2,
+                         d_out=64, knn=16)
+
+
+def decoder_cfg():
+    from esmdiff_tpu.models.vqvae import DecoderConfig
+
+    return DecoderConfig(d_model=768, n_heads=12, n_layers=12,
+                         dtype="bfloat16", predict_ptm=False)
+
+
+MDLM_OVERRIDES = [
+    "model.size=custom", "model.d_model=768", "model.n_heads=12",
+    "model.n_layers=16", "model.v_heads=64",
+    "model.dtype=bfloat16", "model.param_dtype=float32",
+]
+
+
+# ---------------------------------------------------------------------------
+# stage: prepare — load corpus, tokenize with the fixed encoder
+# ---------------------------------------------------------------------------
+
+def iter_corpus():
+    """Yield (name, family, Protein) for every benchmark structure."""
+    from esmdiff_tpu.core import protein as protein_io
+
+    for fam in FAMILIES:
+        for f in sorted((TARGETS_ROOT / fam).glob("*.pdb")):
+            try:
+                got = protein_io.from_pdb_file(f)
+            except Exception as e:
+                print(f"[corpus] skip {f.name}: {e}")
+                continue
+            prot = got[0] if isinstance(got, list) else got
+            yield f.stem, fam, prot
+
+
+def stage_prepare(args):
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.models.vqvae import StructureTokenEncoder
+
+    root = out_root(args)
+    root.mkdir(parents=True, exist_ok=True)
+    ecfg = encoder_cfg()
+    enc = StructureTokenEncoder(ecfg)
+    bb0 = jnp.zeros((1, 8, 3, 3), jnp.float32)
+    enc_params = jax.jit(lambda k: enc.init(k, bb0))(
+        jax.random.PRNGKey(SEED))["params"]
+
+    names, fams, seqs, bbs, lens = [], [], [], [], []
+    for name, fam, prot in iter_corpus():
+        L = len(prot.aatype)
+        if L < 10 or L > MAX_LEN:
+            print(f"[prepare] skip {name}: L={L}")
+            continue
+        bb = prot.backbone_coords()          # (L, 3, 3) NaN where missing
+        names.append(name)
+        fams.append(fam)
+        seqs.append(prot.sequence)
+        lens.append(L)
+        pad = np.full((PAD_L, 3, 3), np.nan, np.float32)
+        pad[:L] = bb
+        bbs.append(pad)
+    bbs = np.stack(bbs)                      # (N, PAD_L, 3, 3)
+    print(f"[prepare] corpus: {len(names)} structures "
+          f"({', '.join(f'{f}:{fams.count(f)}' for f in FAMILIES)})")
+
+    # batch-encode (fixed random encoder = the frozen tokenizer)
+    fwd = jax.jit(lambda p, bb: enc.apply({"params": p}, bb))
+    toks = []
+    BS = 16
+    for i in range(0, len(bbs), BS):
+        t, _, _ = fwd(enc_params, jnp.asarray(bbs[i:i + BS]))
+        toks.append(np.asarray(t))
+    tokens = np.concatenate(toks)            # (N, PAD_L) codes
+    np.savez_compressed(
+        root / "corpus.npz",
+        tokens=tokens, backbones=bbs,
+        lengths=np.asarray(lens, np.int32),
+        names=np.asarray(names), families=np.asarray(fams),
+        sequences=np.asarray(seqs))
+    # persist the frozen encoder now; the decoder joins after training
+    from esmdiff_tpu.convert.checkpoints import save_vqvae
+
+    save_vqvae(root / "vqvae", ecfg, enc_params, decoder_cfg(),
+               _decoder_init())
+    n_distinct = len(np.unique(
+        np.concatenate([tokens[i, :l] for i, l in enumerate(lens)])))
+    print(f"[prepare] {n_distinct} distinct codes in use "
+          f"-> {root / 'corpus.npz'}")
+
+
+def _decoder_init():
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.models.vqvae import StructureTokenDecoder
+
+    dec = StructureTokenDecoder(decoder_cfg())
+    return jax.jit(lambda k: dec.init(k, jnp.zeros((1, 16), jnp.int32)))(
+        jax.random.PRNGKey(SEED + 1))["params"]
+
+
+# ---------------------------------------------------------------------------
+# stage: train_decoder — tokens -> backbone, rotation-invariant loss
+# ---------------------------------------------------------------------------
+
+def stage_train_decoder(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from esmdiff_tpu.convert.checkpoints import load_vqvae, save_vqvae
+    from esmdiff_tpu.core import constants as C
+    from esmdiff_tpu.models.vqvae import StructureTokenDecoder
+
+    root = out_root(args)
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    tokens, bbs, lens = z["tokens"], z["backbones"], z["lengths"]
+    N = len(tokens)
+    n_val = max(4, N // 20)
+    rs = np.random.RandomState(SEED)
+    perm = rs.permutation(N)
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+
+    dcfg = decoder_cfg()
+    dec = StructureTokenDecoder(dcfg)
+    ecfg, enc_params, _, dec_params = load_vqvae(root / "vqvae")
+
+    # tokens with specials, padded rows -> PAD token; bb NaN -> masked loss
+    def with_specials(tok_row, L):
+        t = np.full((PAD_L + 2,), C.STRUCTURE_PAD_TOKEN, np.int32)
+        t[0] = C.STRUCTURE_BOS_TOKEN
+        t[1:L + 1] = tok_row[:L]
+        t[L + 1] = C.STRUCTURE_EOS_TOKEN
+        return t
+
+    toks_sp = np.stack([with_specials(tokens[i], int(lens[i]))
+                        for i in range(N)])
+    bb_j = jnp.asarray(np.nan_to_num(bbs, nan=0.0))
+    bb_mask = jnp.asarray(np.isfinite(bbs).all(-1).all(-1))   # (N, PAD_L)
+    toks_j = jnp.asarray(toks_sp)
+
+    opt = optax.adamw(args.lr, weight_decay=0.01)
+    opt_state = opt.init(dec_params)
+
+    def drmsd_loss(pred, true, mask):
+        """Rotation/translation-invariant: CA pairwise-distance MSE +
+        local bond terms + chirality (signed volume) — mirror images have
+        identical distance matrices, the det term breaks the tie."""
+        ca_p, ca_t = pred[:, :, 1], true[:, :, 1]      # (B, L, 3)
+        dp = jnp.linalg.norm(
+            ca_p[:, :, None] - ca_p[:, None] + 1e-8, axis=-1)
+        dt = jnp.linalg.norm(
+            ca_t[:, :, None] - ca_t[:, None] + 1e-8, axis=-1)
+        m2 = mask[:, :, None] * mask[:, None]
+        l_pwd = jnp.sum(((dp - dt) * m2) ** 2) / (jnp.sum(m2) + 1e-8)
+        # intra-residue N-CA / CA-C vectors' lengths + N..C distance
+        def local(x):
+            n, ca, c = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+            return jnp.stack([
+                jnp.linalg.norm(ca - n + 1e-8, -1),
+                jnp.linalg.norm(c - ca + 1e-8, -1),
+                jnp.linalg.norm(c - n + 1e-8, -1)], -1)
+        l_loc = jnp.sum(((local(pred) - local(true)) *
+                         mask[..., None]) ** 2) / (jnp.sum(mask) * 3 + 1e-8)
+        def chir(x):
+            n, ca, c = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+            u = ca - n
+            v = c - ca
+            w = ca[:, 1:] - ca[:, :-1]
+            return jnp.einsum("bld,bld->bl", jnp.cross(u, v)[:, :-1], w)
+        mc = mask[:, 1:] * mask[:, :-1]
+        l_chi = jnp.sum(((chir(pred) - chir(true)) * mc) ** 2) \
+            / (jnp.sum(mc) + 1e-8)
+        return l_pwd + l_loc + 0.1 * l_chi
+
+    @jax.jit
+    def step(p, s, idx):
+        def loss_fn(p):
+            out = dec.apply({"params": p}, toks_j[idx])
+            pred = out["bb_pred"][:, 1:-1].astype(jnp.float32)
+            return drmsd_loss(pred, bb_j[idx], bb_mask[idx].astype(
+                jnp.float32))
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, loss
+
+    @jax.jit
+    def val_loss(p, idx):
+        out = dec.apply({"params": p}, toks_j[idx])
+        pred = out["bb_pred"][:, 1:-1].astype(jnp.float32)
+        return drmsd_loss(pred, bb_j[idx], bb_mask[idx].astype(jnp.float32))
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(dec_params))
+    print(f"[decoder] {n_params / 1e6:.1f}M params, {len(tr_idx)} train / "
+          f"{n_val} val structures, {args.steps} steps @ B={args.batch}")
+    t0 = time.time()
+    best = float("inf")
+    for it in range(args.steps):
+        idx = jnp.asarray(rs.choice(tr_idx, args.batch))
+        dec_params, opt_state, loss = step(dec_params, opt_state, idx)
+        if it % 500 == 0 or it == args.steps - 1:
+            vl = float(val_loss(dec_params, jnp.asarray(val_idx[:16])))
+            print(f"[decoder] step {it}: train {float(loss):.4f} "
+                  f"val {vl:.4f} ({time.time() - t0:.0f}s)", flush=True)
+            if vl < best:
+                best = vl
+                save_vqvae(root / "vqvae", ecfg, enc_params, dcfg,
+                           dec_params)
+    print(f"[decoder] done in {time.time() - t0:.0f}s, best val {best:.4f} "
+          f"-> {root / 'vqvae'}")
+
+
+# ---------------------------------------------------------------------------
+# stage: dump — MDLM training npzs (sequence_tokens + structure_tokens)
+# ---------------------------------------------------------------------------
+
+def stage_dump(args):
+    from esmdiff_tpu.core import constants as C
+    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+
+    root = out_root(args)
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    tokens, lens = z["tokens"], z["lengths"]
+    names, seqs = z["names"], z["sequences"]
+    enc_dir = root / "encodings"
+    enc_dir.mkdir(exist_ok=True)
+    st = SequenceTokenizer()
+    for i in range(len(names)):
+        L = int(lens[i])
+        seq_toks = st.encode(str(seqs[i]))            # (L+2,)
+        struct = np.concatenate([
+            [C.STRUCTURE_BOS_TOKEN], tokens[i, :L],
+            [C.STRUCTURE_EOS_TOKEN]]).astype(np.int32)
+        np.savez_compressed(enc_dir / f"{names[i]}.npz",
+                            sequence_tokens=seq_toks.astype(np.int32),
+                            structure_tokens=struct)
+    print(f"[dump] {len(names)} encodings -> {enc_dir}")
+
+
+# ---------------------------------------------------------------------------
+# stage: train_mdlm — the production trainer (esmdiff-train code path)
+# ---------------------------------------------------------------------------
+
+def stage_train_mdlm(args):
+    from esmdiff_tpu.train.config import load_config
+    from esmdiff_tpu.train.loop import train
+
+    root = out_root(args)
+    overrides = MDLM_OVERRIDES + [
+        f"data.path={root / 'encodings'}",
+        f"data.batch_size={args.batch}",
+        f"data.max_len={PAD_L + 2}", "data.bucket_multiple=64",
+        f"optim.lr={args.lr}", "optim.warmup_steps=200",
+        f"trainer.max_epochs={args.epochs}",
+        "trainer.log_every_n_steps=20",
+        "trainer.early_stopping_patience=40",
+        f"trainer.ckpt_dir={root / 'mdlm_run'}",
+    ]
+    cfg = load_config(None, overrides)
+    result = train(cfg)
+    print(f"[mdlm] best val loss {result['best_val_loss']:.4f} after "
+          f"{result['steps']} steps")
+
+
+# ---------------------------------------------------------------------------
+# stage: sample — the production sampling CLI per target
+# ---------------------------------------------------------------------------
+
+def pick_eval_targets(root, per_family):
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    names, fams, lens = z["names"], z["families"], z["lengths"]
+    chosen = []
+    for fam in FAMILIES:
+        idx = [i for i in range(len(names)) if fams[i] == fam]
+        idx.sort(key=lambda i: int(lens[i]))   # shortest first: cheap + fair
+        take = len(idx) if fam == "bpti" else min(per_family, len(idx))
+        chosen += [(str(names[i]), fam) for i in idx[:take]]
+    return chosen
+
+
+def stage_sample(args):
+    import shutil
+
+    from esmdiff_tpu.cli.sample import main as sample_main
+
+    root = out_root(args)
+    targets = pick_eval_targets(root, args.per_family)
+    print(f"[sample] {len(targets)} eval targets: "
+          f"{[t for t, _ in targets]}")
+    # stage the target PDBs into per-family dirs; run the CLI per family so
+    # every target keeps its own name in the output dir
+    for fam in FAMILIES:
+        fam_targets = [t for t, f in targets if f == fam]
+        if not fam_targets:
+            continue
+        in_dir = root / "eval_targets" / fam
+        in_dir.mkdir(parents=True, exist_ok=True)
+        for t in fam_targets:
+            src = TARGETS_ROOT / fam / f"{t}.pdb"
+            shutil.copy(src, in_dir / f"{t}.pdb")
+        out_dir = root / "samples" / fam
+        argv = [
+            "--input", str(in_dir), "--output", str(out_dir),
+            "--mode", "ddpm", "--num_steps", str(args.num_steps),
+            "--num_samples", str(args.num_samples),
+            "--ckpt", str(root / "mdlm_run" / "ckpt"),
+            "--vqvae_ckpt", str(root / "vqvae"),
+        ]
+        print(f"[sample] esmdiff-sample {' '.join(argv)}", flush=True)
+        sample_main(argv)
+
+
+# ---------------------------------------------------------------------------
+# stage: analyze — metric tables over the generated ensembles
+# ---------------------------------------------------------------------------
+
+def stage_analyze(args):
+    from esmdiff_tpu.core.protein import load_ca_ensemble
+    from esmdiff_tpu.eval import analysis, metrics
+    from esmdiff_tpu.eval.tmscore import tm_diversity, tm_ensemble
+
+    root = out_root(args)
+    report = {}
+    rows = []
+    for fam in FAMILIES:
+        sample_dir = root / "samples" / fam
+        if not sample_dir.is_dir():
+            continue
+        for pred in sorted(sample_dir.glob("*.pdb")):
+            name = pred.stem
+            target = TARGETS_ROOT / fam / f"{name}.pdb"
+            try:
+                pred_ca = load_ca_ensemble(pred)          # (M, L, 3)
+                target_ca = load_ca_ensemble(target)[0]   # (L, 3)
+                Lc = min(pred_ca.shape[1], len(target_ca))
+                pred_ca, target_ca = pred_ca[:, :Lc], target_ca[:Lc]
+                tm_best, rmsd_best = tm_ensemble(pred_ca, target_ca)
+                d = {"target": target_ca[None], "pred": pred_ca}
+                row = {
+                    "target": name, "family": fam,
+                    "n_samples": int(pred_ca.shape[0]),
+                    "tm_ens": round(tm_best, 4),
+                    "rmsd_best": round(rmsd_best, 3),
+                    "tm_div": round(float(tm_diversity(pred_ca)), 4),
+                    "clash_validity": float(
+                        metrics.validity({"pred": pred_ca})["pred"]),
+                    "bond_validity": float(
+                        metrics.bonding_validity(d)["pred"]),
+                }
+            except Exception as e:
+                row = {"target": name, "family": fam, "error": str(e)}
+            rows.append(row)
+            print(row, flush=True)
+    report["per_target"] = rows
+    ok = [r for r in rows if "error" not in r]
+    for fam in FAMILIES:
+        fr = [r for r in ok if r["family"] == fam]
+        if fr:
+            report[fam] = {
+                "n_targets": len(fr),
+                "tm_ens_mean": round(float(np.mean(
+                    [r["tm_ens"] for r in fr])), 4),
+                "tm_div_mean": round(float(np.mean(
+                    [r["tm_div"] for r in fr])), 4),
+                "clash_validity_mean": round(float(np.mean(
+                    [r["clash_validity"] for r in fr])), 4),
+                "bond_validity_mean": round(float(np.mean(
+                    [r["bond_validity"] for r in fr])), 4),
+            }
+
+    # PED MAE suite through the analysis module, per target (the shipped
+    # PED files are single representative models)
+    ped_dir = root / "samples" / "ped"
+    if ped_dir.is_dir():
+        ped_rows = []
+        for p in sorted(ped_dir.glob("*.pdb")):
+            try:
+                r = analysis.ped_evaluation(
+                    {p.stem: str(p)},
+                    [TARGETS_ROOT / "ped" / f"{p.stem}.pdb"])
+                ped_rows.append({"target": p.stem,
+                                 "mae_pwd": r["mae_pwd"][0],
+                                 "mae_rg": r["mae_rg"][0],
+                                 "mae_contact": r["mae_contact"][0]})
+            except Exception as e:
+                ped_rows.append({"target": p.stem, "error": str(e)})
+        report["ped_mae"] = ped_rows
+
+    (root / "report.json").write_text(
+        json.dumps(report, indent=2, default=float))
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "per_target"}, indent=2, default=float))
+    print(f"[analyze] -> {root / 'report.json'}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("stage", choices=["prepare", "train_decoder", "dump",
+                                     "train_mdlm", "sample", "analyze",
+                                     "all"])
+    p.add_argument("--out", type=str, default="output/campaign")
+    p.add_argument("--steps", type=int, default=12000,
+                   help="decoder train steps")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--epochs", type=int, default=400,
+                   help="MDLM max epochs (early stopping on val)")
+    p.add_argument("--per_family", type=int, default=8,
+                   help="eval targets per family for sample/analyze")
+    p.add_argument("--num_samples", type=int, default=50)
+    p.add_argument("--num_steps", type=int, default=25)
+    args = p.parse_args(argv)
+
+    stages = ([args.stage] if args.stage != "all" else
+              ["prepare", "train_decoder", "dump", "train_mdlm", "sample",
+               "analyze"])
+    for s in stages:
+        print(f"========== stage {s} ==========", flush=True)
+        globals()[f"stage_{s}"](args)
+
+
+if __name__ == "__main__":
+    main()
