@@ -121,7 +121,11 @@ def _load_runtime_from_orbax(path: Path, vqvae_ckpt: Optional[str] = None):
 
     mdlm = build_mdlm(cfg)
     params = mdlm.init(jax.random.PRNGKey(0))
-    optimizer = tstate.make_optimizer(lr=cfg.optim.lr)
+    # the optimizer SPEC must match training exactly — grad_clip adds a
+    # chain stage, changing the opt_state tree orbax restores into
+    optimizer = tstate.make_optimizer(
+        lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
+        warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
     target = tstate.create_train_state(params, optimizer)
     state = ocp.StandardCheckpointer().restore(
         step_dir.absolute(), jax.device_get(target))

@@ -207,6 +207,11 @@ def train(cfg: TrainConfig) -> dict:
     t0 = time.time()
     run_dir = Path(cfg.trainer.ckpt_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
+    # persist the composed config beside the run so checkpoints are
+    # self-describing (convert/checkpoints rebuilds the model from it —
+    # the reference's .hydra/config.yaml convention, checkpoint_utils.py:48)
+    from .config import save_config
+    save_config(cfg, run_dir / "config.yaml")
 
     if cfg.trainer.multihost:
         # ICI/DCN SPMD across hosts; coordinator/topology auto-detected on

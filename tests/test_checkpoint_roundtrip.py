@@ -92,3 +92,70 @@ def test_load_runtime_and_sample(trained_run):
     assert (tokens < 4096).all()
     prots = sampler.decode_ensemble(seq, tokens)
     assert len(prots) == 2 and prots[0].sequence == seq
+
+
+def test_vqvae_save_load_roundtrip(tmp_path):
+    """save_vqvae/load_vqvae (the quality-campaign trained-VQ-VAE path)
+    round-trips configs + params and plugs into load_runtime via
+    --vqvae_ckpt."""
+    import jax
+
+    from esmdiff_tpu.convert.checkpoints import load_vqvae, save_vqvae
+    from esmdiff_tpu.models.vqvae import (
+        DecoderConfig, EncoderConfig, StructureTokenDecoder,
+        StructureTokenEncoder)
+    import jax.numpy as jnp
+
+    ecfg = EncoderConfig(d_model=32, n_heads=2, v_heads=4, n_layers=2,
+                         d_out=8, knn=8)
+    dcfg = DecoderConfig(d_model=32, n_heads=2, n_layers=2, dtype="float32",
+                         scan_layers=False, predict_ptm=False, remat=True)
+    enc = StructureTokenEncoder(ecfg)
+    dec = StructureTokenDecoder(dcfg)
+    ep = jax.jit(lambda k: enc.init(k, jnp.zeros((1, 8, 3, 3))))(
+        jax.random.PRNGKey(0))["params"]
+    dp = jax.jit(lambda k: dec.init(k, jnp.zeros((1, 8), jnp.int32)))(
+        jax.random.PRNGKey(1))["params"]
+    save_vqvae(tmp_path / "vq", ecfg, ep, dcfg, dp)
+    ecfg2, ep2, dcfg2, dp2 = load_vqvae(tmp_path / "vq")
+    assert ecfg2 == ecfg and dcfg2 == dcfg
+    for a, b in zip(jax.tree.leaves(ep), jax.tree.leaves(ep2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = dec.apply({"params": dp2}, jnp.zeros((1, 8), jnp.int32))
+    assert np.isfinite(np.asarray(out["bb_pred"])).all()
+
+
+def test_load_runtime_with_trained_vqvae(trained_run, tmp_path):
+    """load_runtime(--vqvae_ckpt) pairs the trained trunk with a saved
+    VQ-VAE instead of the size-matched random one."""
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.convert.checkpoints import load_runtime, save_vqvae
+    from esmdiff_tpu.models.vqvae import (
+        DecoderConfig, EncoderConfig, StructureTokenDecoder,
+        StructureTokenEncoder)
+
+    ecfg = EncoderConfig(d_model=32, n_heads=2, v_heads=4, n_layers=2,
+                         d_out=8, knn=8)
+    dcfg = DecoderConfig(d_model=48, n_heads=2, n_layers=2, dtype="float32",
+                         scan_layers=False, predict_ptm=False)
+    enc = StructureTokenEncoder(ecfg)
+    dec = StructureTokenDecoder(dcfg)
+    ep = jax.jit(lambda k: enc.init(k, jnp.zeros((1, 8, 3, 3))))(
+        jax.random.PRNGKey(0))["params"]
+    dp = jax.jit(lambda k: dec.init(k, jnp.zeros((1, 8), jnp.int32)))(
+        jax.random.PRNGKey(1))["params"]
+    save_vqvae(tmp_path / "vq", ecfg, ep, dcfg, dp)
+
+    run_dir, _ = trained_run
+    runtime = load_runtime(str(run_dir / "ckpt"),
+                           vqvae_ckpt=str(tmp_path / "vq"))
+    assert runtime.decoder.cfg.d_model == 48
+    from esmdiff_tpu.api.generation import EnsembleSampler
+
+    sampler = EnsembleSampler(runtime)
+    seq = "MKTAYIAKQRQISFVKSHFSRQ"
+    tokens = sampler.ddpm_ensemble(seq, num_samples=2, num_steps=2)
+    prots = sampler.decode_ensemble(seq, tokens)
+    assert len(prots) == 2 and prots[0].sequence == seq
