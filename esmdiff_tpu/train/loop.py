@@ -230,7 +230,7 @@ def train(cfg: TrainConfig) -> dict:
     train_split, val_split = data_mod.train_val_split(dataset, cfg.data)
     print(f"[data] {len(train_split.indices)} train / "
           f"{len(val_split.indices)} val chains from {cfg.data.path}")
-    if not val_split.indices:
+    if len(val_split.indices) == 0:
         print("[data] WARNING: empty val split — val/loss will be nan and "
               "checkpoint selection has no signal (corpus too small for "
               "the 0.95/0.05 split)")

@@ -274,11 +274,15 @@ def stage_train_decoder(args):
           f"{float(loss):.4f}, best val {best:.4f} -> {root / 'vqvae'}")
 
     # corpus reconstruction CA-RMSD (the decode-fidelity number that
-    # matters for the campaign)
+    # matters for the campaign).  Params are a jit ARGUMENT — closing over
+    # them bakes 89M constants into the HLO (PERF.md compile-time gotcha).
     @jax.jit
-    def recon(idx):
-        out = dec.apply({"params": dec_params}, toks_j[idx])
+    def _recon(p, toks):
+        out = dec.apply({"params": p}, toks)
         return out["bb_pred"][:, 1:-1].astype(jnp.float32)
+
+    def recon(idx):
+        return _recon(dec_params, toks_j[idx])
 
     from esmdiff_tpu.eval.geo import rmsd as kabsch_rmsd
 
