@@ -70,9 +70,16 @@ def _process_complex(obj, pdb_name, out_dir, min_len, max_len, with_dssp,
     pos = np.concatenate([p.atom_positions for _, p in items])
     mask = np.concatenate([p.atom_mask for _, p in items])
     residx = np.concatenate([p.residue_index for _, p in items])
+    # the reference's additive chain map is not injective for multi-char ids
+    # ('AB' == 'BA'); chain boundaries are load-bearing downstream (from_npz
+    # inserts chainbreaks at chain_index transitions), so fall back to
+    # sequential ids when the entry's ids collide
+    ids = [chain_str_to_int(cid) for cid, _ in items]
+    if len(set(ids)) != len(ids):
+        ids = list(range(len(items)))
     chain_index = np.concatenate([
-        np.full((len(p.aatype),), chain_str_to_int(cid), np.int32)
-        for cid, p in items])
+        np.full((len(p.aatype),), ids[k], np.int32)
+        for k, (_, p) in enumerate(items)])
     seq = "".join(p.sequence for _, p in items)
     raw_len = len(aatype)
 

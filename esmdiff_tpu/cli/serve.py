@@ -167,6 +167,7 @@ class SamplerService:
 
         t0 = time.time()
         with self._sample_lock:
+            t_dev = time.time()  # sampling_sec = device phase, not queueing
             if mode == "gibbs":
                 tokens = self.sampler.gibbs_ensemble(
                     seq, n,
@@ -195,7 +196,7 @@ class SamplerService:
                     temperature=temperature, top_p=top_p,
                     max_steps=steps * 8, seed=seed,
                 )
-        t_tokens = time.time() - t0
+        t_tokens = time.time() - t_dev
         prots = None
         if fmt == "pdb":
             # phase 2: VQ decode under its own lock — request B's trunk

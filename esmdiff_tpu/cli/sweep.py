@@ -49,7 +49,7 @@ def _run_trial(base_config, overrides, ckpt_dir, max_epochs, resume=None):
     """One training run; returns {val_loss|None, steps, error?}.  Non-finite
     val loss is recorded as no-signal (it would otherwise win min() and emit
     non-standard JSON Infinity)."""
-    from esmdiff_tpu.train.config import load_config, save_config
+    from esmdiff_tpu.train.config import load_config
     from esmdiff_tpu.train.loop import train
 
     overrides = list(overrides) + [f"trainer.ckpt_dir={ckpt_dir}"]
@@ -58,7 +58,7 @@ def _run_trial(base_config, overrides, ckpt_dir, max_epochs, resume=None):
     if resume:
         overrides.append(f"trainer.resume={resume}")
     cfg = load_config(base_config, overrides)
-    save_config(cfg, Path(ckpt_dir) / "config.yaml")
+    # train() itself persists the composed config.yaml beside the run
     try:
         res = train(cfg)
         val = res["best_val_loss"]

@@ -75,9 +75,18 @@ def load_runtime(ckpt_path: str, vqvae_ckpt: Optional[str] = None,
     # torch file: pretrained/fine-tuned trunk weights
     from .torch_to_jax import convert_trunk, load_torch_state_dict, strip_prefix
 
-    runtime = ESM3Runtime.random_init(
-        trunk_cfg=trunk_cfg or ESM3Config(head_type="structure"),
-        **runtime_kwargs)
+    if vqvae_ckpt:
+        enc_cfg, enc_params, dec_cfg, dec_params = load_vqvae(vqvae_ckpt)
+        runtime = ESM3Runtime.random_init(
+            trunk_cfg=trunk_cfg or ESM3Config(head_type="structure"),
+            encoder_cfg=enc_cfg, decoder_cfg=dec_cfg, **runtime_kwargs)
+        runtime.encoder_params = enc_params
+        runtime.decoder_params = dec_params
+        print(f"[load_runtime] trained VQ-VAE from {vqvae_ckpt}")
+    else:
+        runtime = ESM3Runtime.random_init(
+            trunk_cfg=trunk_cfg or ESM3Config(head_type="structure"),
+            **runtime_kwargs)
     sd = load_torch_state_dict(str(path))
     if any(k.startswith("net.") for k in sd):
         sd = strip_prefix(sd, "net.")
@@ -131,13 +140,25 @@ def _load_runtime_from_orbax(path: Path, vqvae_ckpt: Optional[str] = None):
         step_dir.absolute(), jax.device_get(target))
 
     if vqvae_ckpt:
+        # every component has restored weights — construct the runtime
+        # directly instead of random_init-ing params that are immediately
+        # overwritten (throwaway full-geometry init compiles)
+        from esmdiff_tpu.models.vqvae import (
+            StructureTokenDecoder, StructureTokenEncoder)
+
         enc_cfg, enc_params, dec_cfg, dec_params = load_vqvae(vqvae_ckpt)
-        runtime = ESM3Runtime.random_init(
-            trunk_cfg=mdlm.net.cfg, encoder_cfg=enc_cfg, decoder_cfg=dec_cfg)
-        runtime.encoder_params = enc_params
-        runtime.decoder_params = dec_params
-        print(f"[load_runtime] trained VQ-VAE from {vqvae_ckpt}")
-    elif cfg.model.size == "tiny":
+        runtime = ESM3Runtime(
+            trunk=mdlm.net, trunk_params=state.params["net"],
+            encoder=StructureTokenEncoder(enc_cfg),
+            encoder_params=enc_params,
+            decoder=StructureTokenDecoder(dec_cfg),
+            decoder_params=dec_params,
+            sigma_embedder=mdlm.sigma_embedder,
+            sigma_params=state.params["sigma_embedder"])
+        print(f"[load_runtime] trained VQ-VAE from {vqvae_ckpt}; "
+              f"restored train state from {step_dir}")
+        return runtime
+    if cfg.model.size == "tiny":
         from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
         runtime = ESM3Runtime.random_init(

@@ -47,9 +47,9 @@ from jax.experimental.pallas import tpu as pltpu
 SMALL_ATTN_MAX_LEN = int(os.environ.get("ESMDIFF_SMALL_ATTN_MAX_LEN", "128"))
 
 
-def _rot_half(x):
-    half = x.shape[-1] // 2
-    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+# single source of truth for the half-rotation: the kernel forward and its
+# XLA-reference backward must always share the rotary convention
+from esmdiff_tpu.nn.rotary import _rotate_half as _rot_half  # noqa: E402
 
 
 def _kernel(lengths_ref, q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,

@@ -46,8 +46,11 @@ class CacheEventCounter:
                     self.counts[event] = self.counts.get(event, 0) + 1
 
             def _on_duration(event: str, duration: float, **kw):
+                # namespaced so an event reported through both channels can
+                # never be double-counted into hits/misses
                 if "cache" in event:
-                    self.counts[event] = self.counts.get(event, 0) + 1
+                    key = "dur:" + event
+                    self.counts[key] = self.counts.get(key, 0) + 1
 
             monitoring.register_event_listener(_on_event)
             # cache misses are recorded as durations (compile time) in jax
@@ -58,7 +61,12 @@ class CacheEventCounter:
         return self
 
     def snapshot(self) -> dict:
-        hits = sum(v for k, v in self.counts.items() if "hit" in k)
-        misses = sum(v for k, v in self.counts.items() if "miss" in k)
+        base = {k: v for k, v in self.counts.items()
+                if not k.startswith("dur:")}
+        dur = {k[4:]: v for k, v in self.counts.items()
+               if k.startswith("dur:")}
+        merged = {**dur, **base}  # event channel wins if both ever fire
+        hits = sum(v for k, v in merged.items() if "hit" in k)
+        misses = sum(v for k, v in merged.items() if "miss" in k)
         return {"cache_hits": hits, "cache_misses": misses,
                 "events": dict(self.counts), "listener": self._registered}

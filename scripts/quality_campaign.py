@@ -199,8 +199,47 @@ def stage_train_decoder(args):
     bb_mask = jnp.asarray(np.isfinite(bbs).all(-1).all(-1))   # (N, PAD_L)
     toks_j = jnp.asarray(toks_sp)
 
-    opt = optax.adamw(args.lr, weight_decay=0.01)
+    # grad clip is load-bearing for the coordinate-space loss: a single bad
+    # alignment (degenerate SVD frame early in training) otherwise produces
+    # a divergence spike (observed: train 4.9 -> 200 at step 2000)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(args.lr, weight_decay=0.01))
     opt_state = opt.init(dec_params)
+
+    def kabsch_aligned_mse(pred, true, mask):
+        """Per-sample Kabsch-align TRUE onto PRED (stop-grad transform, the
+        standard stable formulation) and take masked coordinate MSE over all
+        backbone atoms.  Rotation+translation invariant AND chirality-aware
+        (a mirror image cannot be proper-rotated onto the target).  Round-3
+        measurement: the pairwise-distance (dRMSD) loss alone left 7.2 A
+        train reconstruction CA-RMSD — distances converge without pinning
+        the 3-D embedding."""
+        ca_p, ca_t = pred[:, :, 1], true[:, :, 1]        # (B, L, 3)
+        w = mask[:, :, None]
+        n = jnp.sum(mask, axis=1)[:, None] + 1e-6
+        mu_p = jnp.sum(ca_p * w, axis=1) / n             # (B, 3)
+        mu_t = jnp.sum(ca_t * w, axis=1) / n
+        Pc = (ca_p - mu_p[:, None]) * w
+        Tc = (ca_t - mu_t[:, None]) * w
+        H = jnp.einsum("bld,ble->bde", Tc, Pc)           # (B, 3, 3)
+        U, _, Vt = jnp.linalg.svd(H)
+        det = jnp.linalg.det(jnp.einsum("bde,bef->bdf", U, Vt))
+        D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+        R = jnp.einsum("bde,be,bef->bdf", U, D, Vt)      # true -> pred
+        R = jax.lax.stop_gradient(R)
+        mu_p = jax.lax.stop_gradient(mu_p)
+        mu_t = jax.lax.stop_gradient(mu_t)
+        true_al = jnp.einsum("blad,bde->blae",
+                             true - mu_t[:, None, None], R) \
+            + mu_p[:, None, None]
+        # Huber on the per-atom distance: quadratic below delta, linear
+        # above — bounds the gradient contribution of far-displaced atoms
+        delta = 4.0
+        dist = jnp.sqrt(
+            jnp.sum((pred - true_al) ** 2, axis=-1) + 1e-8)  # (B, L, 3at)
+        hub = jnp.where(dist <= delta, 0.5 * dist ** 2,
+                        delta * (dist - 0.5 * delta))
+        return jnp.sum(hub * mask[:, :, None]) / (jnp.sum(mask) * 3 + 1e-8)
 
     def drmsd_loss(pred, true, mask):
         """Rotation/translation-invariant: CA pairwise-distance MSE +
@@ -233,12 +272,15 @@ def stage_train_decoder(args):
             / (jnp.sum(mc) + 1e-8)
         return l_pwd + l_loc + 0.1 * l_chi
 
+    loss_impl = (kabsch_aligned_mse if args.dec_loss == "kabsch"
+                 else drmsd_loss)
+
     @jax.jit
     def step(p, s, idx):
         def loss_fn(p):
             out = dec.apply({"params": p}, toks_j[idx])
             pred = out["bb_pred"][:, 1:-1].astype(jnp.float32)
-            return drmsd_loss(pred, bb_j[idx], bb_mask[idx].astype(
+            return loss_impl(pred, bb_j[idx], bb_mask[idx].astype(
                 jnp.float32))
         loss, g = jax.value_and_grad(loss_fn)(p)
         up, s = opt.update(g, s, p)
@@ -248,7 +290,7 @@ def stage_train_decoder(args):
     def val_loss(p, idx):
         out = dec.apply({"params": p}, toks_j[idx])
         pred = out["bb_pred"][:, 1:-1].astype(jnp.float32)
-        return drmsd_loss(pred, bb_j[idx], bb_mask[idx].astype(jnp.float32))
+        return loss_impl(pred, bb_j[idx], bb_mask[idx].astype(jnp.float32))
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(dec_params))
@@ -502,6 +544,11 @@ def main(argv=None):
                    help="eval targets per family for sample/analyze")
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--dec_loss", type=str, default="kabsch",
+                   choices=["kabsch", "drmsd"],
+                   help="decoder loss: Kabsch-aligned coordinate MSE "
+                        "(default; measured 7.2 A -> see PERF.md) or the "
+                        "pairwise-distance formulation")
     args = p.parse_args(argv)
 
     stages = ([args.stage] if args.stage != "all" else
