@@ -544,11 +544,14 @@ def main(argv=None):
                    help="eval targets per family for sample/analyze")
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--num_steps", type=int, default=25)
-    p.add_argument("--dec_loss", type=str, default="kabsch",
-                   choices=["kabsch", "drmsd"],
-                   help="decoder loss: Kabsch-aligned coordinate MSE "
-                        "(default; measured 7.2 A -> see PERF.md) or the "
-                        "pairwise-distance formulation")
+    p.add_argument("--dec_loss", type=str, default="drmsd",
+                   choices=["drmsd", "kabsch"],
+                   help="decoder loss.  drmsd (default) = CA pairwise "
+                        "distances + local bonds + chirality (stable; 7.2 A "
+                        "train recon on the campaign corpus).  kabsch = "
+                        "aligned coordinate Huber — measured UNSTABLE here "
+                        "(diverged unclipped at step 2k; oscillated 13-70 "
+                        "with clip 1.0), kept for future work (PERF.md).")
     args = p.parse_args(argv)
 
     stages = ([args.stage] if args.stage != "all" else
