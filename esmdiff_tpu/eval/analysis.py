@@ -295,15 +295,19 @@ def load_pairs_csv(csv_path: str | Path, structures_dir: str | Path,
 def ped_evaluation(preds: dict[str, str | Path],
                    target_ensembles: list[str | Path]) -> dict:
     """IDP MAE metrics vs the concatenation of PED target ensembles
-    (reference idp_evaluation, ped_analysis.py:17-46)."""
+    (reference idp_evaluation, ped_analysis.py:17-46).  Targets of
+    different chain lengths are truncated to the common minimum BEFORE
+    concatenation (multi-target CLI invocations crashed on the ragged
+    concat otherwise)."""
+    targets = [load_ca_ensemble(t) for t in target_ensembles]
+    pred_arrs = {name: load_ca_ensemble(path)
+                 for name, path in preds.items()}
+    L = min(min(t.shape[1] for t in targets),
+            min(v.shape[1] for v in pred_arrs.values()))
     d_coords = {
-        "target": np.concatenate(
-            [load_ca_ensemble(t) for t in target_ensembles], axis=0)
+        "target": np.concatenate([t[:, :L] for t in targets], axis=0)
     }
-    for name, path in preds.items():
-        d_coords[name] = load_ca_ensemble(path)
-    L = min(v.shape[1] for v in d_coords.values())
-    d_coords = {k: v[:, :L] for k, v in d_coords.items()}
+    d_coords.update({k: v[:, :L] for k, v in pred_arrs.items()})
     (mse_pwd, mse_rg, mse_contact,
      mae_pwd, mae_rg, mae_contact) = metrics.idp_metrics(d_coords)
     names = [k for k in preds]

@@ -170,6 +170,21 @@ def test_ped_evaluation(ensembles):
     assert res["mae_rg"][i_close] < res["mae_rg"][i_far]
 
 
+def test_ped_evaluation_ragged_targets(ensembles, tmp_path):
+    """Targets of different chain lengths must truncate to the common
+    minimum BEFORE concatenation (multi-target CLI runs crashed on the
+    ragged concat — found driving esmdiff-analyze ped over the round-3
+    campaign samples)."""
+    root, prot = ensembles
+    short = protein.from_backbone(prot.backbone_coords()[:20],
+                                  sequence=prot.sequence[:20])
+    protein.ensemble_to_pdb_file([short, short], tmp_path / "short.pdb")
+    res = analysis.ped_evaluation(
+        {"close": root / "close.pdb"},
+        [root / "target.pdb", tmp_path / "short.pdb"])
+    assert np.isfinite(res["mae_pwd"][0])
+
+
 @pytest.mark.slow
 def test_apo_cli_real_targets_end_to_end(tmp_path):
     """cli/analyze.py apo over REAL apo target structures with the
