@@ -44,7 +44,9 @@ def _sample_flops(cfg, B: int, L: int, steps: int) -> float:
     return steps * B * (token_part + attn_part)
 
 
-def build_sampler():
+def build_sampler(quant: str = "none"):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -59,6 +61,13 @@ def build_sampler():
     se = TimestepEmbedder(hidden_size=cfg.d_model, param_dtype=jnp.bfloat16)
     mdlm = MDLM(net, se, noise=LogLinearNoise(), cfg=MDLMConfig())
     params = mdlm.init(jax.random.PRNGKey(42), batch_size=1, length=16)
+    if quant == "int8":
+        from esmdiff_tpu.ops.quant import quantize_trunk_params
+
+        cfg = dataclasses.replace(cfg, quant="int8")
+        mdlm = MDLM(ESM3(cfg), se, noise=LogLinearNoise(), cfg=MDLMConfig())
+        params = {"net": jax.jit(quantize_trunk_params)(params["net"]),
+                  "sigma_embedder": params["sigma_embedder"]}
     return cfg, mdlm, params
 
 
@@ -116,6 +125,9 @@ def main():
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--only_L", type=int, default=None,
                    help="Matrix mode: run only this length row.")
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 trunk projections (ops/quant.py).")
     args = p.parse_args()
 
     from esmdiff_tpu.utils.compilation_cache import (
@@ -129,7 +141,7 @@ def main():
     from esmdiff_tpu.core.tokenizer import SequenceTokenizer
     from esmdiff_tpu.api.protein_api import ESMProtein
 
-    cfg, mdlm, params = build_sampler()
+    cfg, mdlm, params = build_sampler(quant=args.quant)
     device = str(jax.devices()[0])
 
     if args.matrix:
@@ -160,6 +172,7 @@ def main():
                     "mfu_vs_v5e_bf16": round(
                         flops / best / V5E_BF16_PEAK, 3),
                     "attn_backend": _attn_backend_at(L),
+                    "quant": args.quant,
                     "first_call_s": round(first, 1),
                     "device": device,
                 },
@@ -207,6 +220,7 @@ def main():
                 bucket_times[sizes[0]][0] / args.steps * 1e3, 2),
             "tflops_per_sec": round(flops / total / 1e12, 1),
             "mfu_vs_v5e_bf16": round(flops / total / V5E_BF16_PEAK, 3),
+            "quant": args.quant,
             "first_call_s": round(first_total, 1),
             # interpretability of first_call_s (PERF.md gotcha #8): whether
             # the persistent compile cache was hit or the buckets recompiled

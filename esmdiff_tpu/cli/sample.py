@@ -87,6 +87,11 @@ def get_argparser():
                         "array = residue idx-1, sample_esmdiff.py:201-202). "
                         "Default masks residue idx, consistent with --mode "
                         "gibbs sequence-char masking.")
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 trunk projections on the MXU's 2x int8 "
+                        "path (ops/quant.py) — serving optimization; "
+                        "measured speed/parity in PERF.md.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", type=str, default="full",
                    choices=["full", "tiny"],
@@ -112,6 +117,9 @@ def main(argv=None):
     output_dir.mkdir(parents=True, exist_ok=True)
 
     runtime = build_runtime(args)
+    if getattr(args, "quant", "none") == "int8":
+        runtime = runtime.quantize("int8")
+        print("[quant] trunk projections running W8A8 int8")
     mesh = None
     if args.data_parallel:
         from esmdiff_tpu.parallel import mesh as pmesh

@@ -70,6 +70,10 @@ class ESM3Config:
     remat_policy: str = "nothing"
     attn_backend: str = "auto"
     qkv_backend: str = "xla"  # "fused" = Pallas LN+QKV+QK-LN (ops/fused_qkv)
+    # "int8" = W8A8 attention/FFN projections on the MXU's 2x int8 path
+    # (ops/quant.py) — inference-only; params converted by
+    # quantize_trunk_params.
+    quant: str = "none"
 
     @property
     def jnp_dtype(self):
@@ -116,7 +120,7 @@ class TransformerBlock(nn.Module):
         r = MultiHeadAttention(
             d_model=cfg.d_model, n_heads=cfg.n_heads, dtype=cfg.jnp_dtype,
             param_dtype=cfg.jnp_param_dtype, attn_backend=cfg.attn_backend,
-            qkv_backend=cfg.qkv_backend, name="attn",
+            qkv_backend=cfg.qkv_backend, quant=cfg.quant, name="attn",
         )(x, rot_cos, rot_sin, mask=mask, lengths=lengths)
         x = x + r / scale
         # When every frame is masked (no input coordinates — the MDLM
@@ -134,7 +138,7 @@ class TransformerBlock(nn.Module):
             x = x + r / scale
         r = SwiGLUFFN(
             d_model=cfg.d_model, hidden=cfg.ffn_hidden, dtype=cfg.jnp_dtype,
-            param_dtype=cfg.jnp_param_dtype, name="ffn",
+            param_dtype=cfg.jnp_param_dtype, quant=cfg.quant, name="ffn",
         )(x)
         return x + r / scale
 

@@ -81,12 +81,25 @@ class MultiHeadAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
     qkv_backend: str = "xla"
+    quant: str = "none"  # "int8" = W8A8 projections (ops/quant.py)
 
     @nn.compact
     def __call__(self, x, rot_cos, rot_sin, mask=None, lengths=None):
         B, L, D = x.shape
         dh = self.d_model // self.n_heads
-        if self.qkv_backend == "fused":
+        if self.quant == "int8":
+            if self.qkv_backend == "fused":
+                raise ValueError("quant='int8' is incompatible with "
+                                 "qkv_backend='fused'")
+            from esmdiff_tpu.ops.quant import QuantDense
+
+            h = LayerNorm(name="ln")(x)
+            qkv = QuantDense(3 * self.d_model, dtype=self.dtype,
+                             name="qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = LayerNorm(name="q_ln")(q)
+            k = LayerNorm(name="k_ln")(k)
+        elif self.qkv_backend == "fused":
             from esmdiff_tpu.ops.fused_qkv import fused_ln_qkv
 
             ln_s = _ScaleParam(D, self.param_dtype, name="ln")()
@@ -124,6 +137,10 @@ class MultiHeadAttention(nn.Module):
             o = dot_product_attention(q, k, v, mask=mask, lengths=lengths,
                                       backend=self.attn_backend)
         o = o.reshape(B, L, self.d_model)
+        if self.quant == "int8":
+            from esmdiff_tpu.ops.quant import QuantDense
+
+            return QuantDense(self.d_model, dtype=self.dtype, name="out")(o)
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name="out",
@@ -137,10 +154,18 @@ class SwiGLUFFN(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         h = LayerNorm(name="ln")(x)
+        if self.quant == "int8":
+            from esmdiff_tpu.ops.quant import QuantDense
+
+            up = QuantDense(2 * self.hidden, dtype=self.dtype, name="up")(h)
+            a, b = jnp.split(up, 2, axis=-1)
+            return QuantDense(self.d_model, dtype=self.dtype,
+                              name="down")(nn.silu(a) * b)
         up = nn.Dense(
             2 * self.hidden, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name="up",

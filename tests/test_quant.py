@@ -1,0 +1,152 @@
+"""W8A8 int8 quantization path (ops/quant.py).
+
+Covers: weight quantization roundtrip, int8_dot accuracy vs fp32,
+QuantDense module semantics, the trunk param converter's selectivity, and
+fp-vs-int8 logit parity on the tiny trunk end to end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esmdiff_tpu.ops.quant import (
+    QuantDense,
+    int8_dot,
+    quantize_trunk_params,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((32, 48)) * 0.1, jnp.float32)
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (48,)
+    deq = q.astype(jnp.float32) * s[None, :]
+    # symmetric absmax: error bounded by half an LSB of each column's scale
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= 0.5 * np.asarray(s)[None, :] + 1e-8).all()
+
+
+def test_quantize_weight_stacked():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((4, 16, 24)), jnp.float32)
+    q, s = quantize_weight(w)
+    assert q.shape == (4, 16, 24) and s.shape == (4, 24)
+    # each layer quantized independently
+    q0, s0 = quantize_weight(w[0])
+    np.testing.assert_array_equal(np.asarray(q[0]), np.asarray(q0))
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s0))
+
+
+def test_int8_dot_accuracy():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)) * 0.05, jnp.float32)
+    q, s = quantize_weight(w)
+    got = np.asarray(int8_dot(x, q, s, out_dtype=jnp.float32))
+    ref = np.asarray(x @ w)
+    # ~1% relative error is the expected W8A8 regime
+    rel = np.abs(got - ref) / (np.abs(ref).mean() + 1e-9)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_quant_dense_matches_int8_dot():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.bfloat16)
+    mod = QuantDense(24, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    q = jnp.asarray(rng.integers(-127, 127, (16, 24)), jnp.int8)
+    s = jnp.asarray(rng.standard_normal(24) ** 2 + 0.01, jnp.float32)
+    params = {"kernel_q": q, "scale": s}
+    got = mod.apply({"params": params}, x)
+    want = int8_dot(x, q, s)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def _tiny_runtime(seed=0):
+    from esmdiff_tpu.api.protein_api import ESM3Runtime
+    from esmdiff_tpu.models.esm3 import esm3_tiny
+    from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
+
+    return ESM3Runtime.random_init(
+        seed=seed,
+        trunk_cfg=esm3_tiny(head_type="structure", dtype="float32"),
+        encoder_cfg=EncoderConfig(d_model=64, n_heads=2, v_heads=8,
+                                  n_layers=2, d_out=16, knn=8),
+        decoder_cfg=DecoderConfig(d_model=64, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+    )
+
+
+def test_converter_selectivity():
+    rt = _tiny_runtime()
+    q = quantize_trunk_params(rt.trunk_params)
+    tr = q["transformer"]
+    # attention + ffn projections converted (block0 and the scan stack)
+    for blk in (tr["block0"], tr["blocks"]["block"]):
+        for path in (("attn", "qkv"), ("attn", "out"),
+                     ("ffn", "up"), ("ffn", "down")):
+            leaf = blk[path[0]][path[1]]
+            assert set(leaf.keys()) == {"kernel_q", "scale"}, path
+            assert leaf["kernel_q"].dtype == jnp.int8
+        # layernorms untouched
+        assert "scale" in blk["attn"]["ln"]
+    # geometric attention and heads untouched
+    assert "geom_attn" in tr["block0"]
+    flat_q = jax.tree_util.tree_flatten_with_path(tr["block0"]["geom_attn"])
+    assert all("kernel_q" not in jax.tree_util.keystr(p)
+               for p, _ in flat_q[0])
+    assert jax.tree_util.tree_structure(
+        q["encoder"]) == jax.tree_util.tree_structure(
+        rt.trunk_params["encoder"])
+    # stacked kernels keep the layer axis
+    n_rest = tr["blocks"]["block"]["attn"]["qkv"]["kernel_q"].shape[0]
+    assert n_rest == 3  # tiny trunk: 4 layers, 1 geom block
+
+
+def test_trunk_int8_logit_parity():
+    """fp32 vs W8A8 tiny trunk: near-identical logits, same argmax."""
+    rt = _tiny_runtime()
+    qrt = rt.quantize("int8")
+    rng = np.random.default_rng(0)
+    seq = jnp.asarray(rng.integers(4, 24, (2, 16)), jnp.int32)
+    st = jnp.full((2, 16), 4096, jnp.int32)
+    lf = np.asarray(rt.trunk.apply(
+        {"params": rt.trunk_params}, sequence_tokens=seq,
+        structure_tokens=st).structure_logits, np.float32)
+    lq = np.asarray(qrt.trunk.apply(
+        {"params": qrt.trunk_params}, sequence_tokens=seq,
+        structure_tokens=st).structure_logits, np.float32)
+    cos = (lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq))
+    assert cos > 0.999, cos
+    agree = (lf.argmax(-1) == lq.argmax(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_quant_rejects_fused_backend():
+    from esmdiff_tpu.nn.layers import MultiHeadAttention
+
+    mod = MultiHeadAttention(d_model=16, n_heads=2, quant="int8",
+                             qkv_backend="fused")
+    x = jnp.zeros((1, 4, 16), jnp.float32)
+    cos = jnp.ones((4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="incompatible"):
+        mod.init(jax.random.PRNGKey(0), x, cos, cos)
+
+
+@pytest.mark.slow
+def test_sample_cli_quant_int8(tmp_path):
+    """esmdiff-sample --quant int8 end to end (ddpm, tiny model)."""
+    from esmdiff_tpu.cli import sample as cli
+
+    out = tmp_path / "out"
+    cli.main([
+        "--input", "/root/reference/data/targets/bpti",
+        "--output", str(out), "--mode", "ddpm", "--num_steps", "2",
+        "--num_samples", "2", "--model_scale", "tiny", "--quant", "int8",
+    ])
+    text = (out / "bpti.pdb").read_text()
+    assert text.count("MODEL") >= 2
