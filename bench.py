@@ -5,7 +5,9 @@ Prints ONE JSON line:
 
 Workload = the reference's canonical config (README.md:64-67): BPTI (58
 residues), 25 denoising steps, 100 requested samples, full-size trunk
-(d_model 1536, 48 layers, bf16).  The whole trajectory runs as a single
+(d_model 1536, 48 layers; default = the W8A8 int8 serving config with
+bf16 attention/LN/heads — parity evidence in PERF.md; --quant none for
+the all-bf16 path).  The whole trajectory runs as a single
 jitted lax.scan on device per batch bucket; the batch plan is the production
 plan_batches ladder, and the headline value is EFFECTIVE conf/s for the
 REQUESTED sample count (surplus bucket samples are honestly amortized —
@@ -28,6 +30,7 @@ import json
 import time
 
 V5E_BF16_PEAK = 197e12  # FLOP/s
+V5E_INT8_PEAK = 394e12  # OP/s (s8 x s8 -> s32 on the MXU)
 
 
 def _trunk_matmul_params(cfg) -> int:
@@ -125,9 +128,12 @@ def main():
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--only_L", type=int, default=None,
                    help="Matrix mode: run only this length row.")
-    p.add_argument("--quant", type=str, default="none",
+    p.add_argument("--quant", type=str, default="int8",
                    choices=["none", "int8"],
-                   help="int8 = W8A8 trunk projections (ops/quant.py).")
+                   help="int8 (default) = W8A8 trunk projections "
+                        "(ops/quant.py) — the production serving config; "
+                        "parity evidence in PERF.md + "
+                        "output/quant_parity/report.json.  none = bf16.")
     args = p.parse_args()
 
     from esmdiff_tpu.utils.compilation_cache import (
@@ -198,9 +204,10 @@ def main():
     conf_per_sec = args.samples / total  # effective: REQUESTED samples
     flops = sum(_sample_flops(cfg, B, L, args.steps) for B in sizes)
 
+    quant_tag = ", W8A8 int8" if args.quant == "int8" else ""
     result = {
         "metric": "conformations/sec/chip (BPTI, 25-step ESMDiff sampling, "
-                  "100 requested samples)",
+                  f"100 requested samples{quant_tag})",
         "value": round(conf_per_sec, 3),
         "unit": "conformations/sec",
         # no measured PyTorch baseline exists (BASELINE.md: reference
@@ -220,6 +227,8 @@ def main():
                 bucket_times[sizes[0]][0] / args.steps * 1e3, 2),
             "tflops_per_sec": round(flops / total / 1e12, 1),
             "mfu_vs_v5e_bf16": round(flops / total / V5E_BF16_PEAK, 3),
+            **({"mfu_vs_v5e_int8": round(flops / total / V5E_INT8_PEAK, 3)}
+               if args.quant == "int8" else {}),
             "quant": args.quant,
             "first_call_s": round(first_total, 1),
             # interpretability of first_call_s (PERF.md gotcha #8): whether

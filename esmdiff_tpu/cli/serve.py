@@ -330,6 +330,9 @@ def main(argv=None):
     _enable_cache()
 
     runtime = build_runtime(args)
+    if getattr(args, "quant", "none") == "int8":
+        runtime = runtime.quantize("int8")
+        print("[quant] trunk projections running W8A8 int8")
     mesh = None
     if args.data_parallel:
         from esmdiff_tpu.parallel import mesh as pmesh
