@@ -178,12 +178,14 @@ class DecoderConfig:
     # rematerialize blocks in backward — inference leaves it off; decoder
     # TRAINING (scripts/quality_campaign.py) needs it for activation memory
     remat: bool = False
+    quant: str = "none"  # "int8" = W8A8 stack projections (ops/quant.py)
 
     def stack_config(self) -> ESM3Config:
         return ESM3Config(
             d_model=self.d_model, n_heads=self.n_heads, v_heads=0,
             n_layers=self.n_layers, n_layers_geom=0, dtype=self.dtype,
             scan_layers=self.scan_layers, remat=self.remat,
+            quant=self.quant,
         )
 
 
