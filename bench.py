@@ -80,13 +80,16 @@ def run_bucket(mdlm, params, seq_row, B, L, num_steps, n_timed=3):
     import jax.numpy as jnp
     import numpy as np
 
+    from esmdiff_tpu.ops.packing import pack_factor
+
     seq = jnp.asarray(np.tile(seq_row[None], (B, 1)))
     lengths = jnp.sum(seq != _pad_token(), axis=-1, dtype=jnp.int32)
+    pack = pack_factor(B, L)  # sequence packing for short buckets (PERF.md)
 
     @jax.jit
     def sample(params, key):
         return mdlm.ddpm_sample(params, key, seq, num_steps=num_steps,
-                                eps=1e-5, lengths=lengths)
+                                eps=1e-5, lengths=lengths, pack=pack)
 
     t0 = time.time()
     jax.block_until_ready(sample(params, jax.random.PRNGKey(0)))

@@ -163,10 +163,58 @@ class EnsembleSampler:
         padded[:Lw] = seq_tokens
         return padded, Lw
 
+    def _pack(self, B: int, L: int) -> int:
+        """Sequence-packing factor for short buckets (ops/packing.py):
+        k same-length rows share one device row with a block-diagonal
+        segment mask, turning the MXU-underfed short-L attention matmuls
+        into MXU-shaped ones (1.46x at the canonical L=64 bucket, PERF.md
+        round-3).  Sampler state/RNG stay at (B, L) so results for a given
+        seed are unchanged.  Under a data mesh, k is derived from the
+        PER-SHARD batch so the packed reshape stays shard-local.
+        """
+        from esmdiff_tpu.ops.packing import pack_factor
+
+        return pack_factor(B // self._n_shards(), L)
+
+    def _trunk_forward(self, pack: int = 1):
+        """(params, tokens, seq_tokens, lengths) -> fp32 shielded logits,
+        optionally via the sequence-packed view (callers keep (B, L))."""
+        stock_head = self.runtime.trunk.cfg.head_type == "esm3"
+        trunk = self.runtime.trunk
+
+        def forward(params, tokens, seq_tokens, lengths):
+            if pack > 1:
+                from esmdiff_tpu.ops.packing import (
+                    packed_positions, packed_segment_ids)
+
+                B, L = tokens.shape
+                out = trunk.apply(
+                    {"params": params},
+                    structure_tokens=tokens.reshape(B // pack, pack * L),
+                    sequence_tokens=seq_tokens.reshape(B // pack, pack * L),
+                    sequence_id=packed_segment_ids(lengths, L, pack),
+                    positions=packed_positions(L, pack),
+                )
+                logits = out.structure_logits.reshape(B, L, -1)
+            else:
+                out = trunk.apply(
+                    {"params": params},
+                    structure_tokens=tokens,
+                    sequence_tokens=seq_tokens,
+                    lengths=lengths,
+                )
+                logits = out.structure_logits
+            logits = logits.astype(jnp.float32)
+            if not stock_head:
+                logits = shield_special_tokens(logits)
+            return logits
+
+        return forward
+
     # -- ddpm -----------------------------------------------------------------
     def _ddpm_fn(self, B: int, L: int, num_steps: int, eps: float,
                  sample_max_t: float, use_prior: bool):
-        key_shape = (B, L)
+        pack = self._pack(B, L)
 
         def fn(params, key, seq_tokens, lengths, prior):
             sampler = MDLM(
@@ -178,6 +226,7 @@ class EnsembleSampler:
                 input_prior=prior if use_prior else None,
                 sample_max_t=sample_max_t,
                 lengths=lengths,
+                pack=pack,
             )
 
         return jax.jit(fn)
@@ -301,21 +350,6 @@ class EnsembleSampler:
                     known, pt.structure[1:-1], C.STRUCTURE_MASK_TOKEN)
                 decode_row[1:Lw - 1] = ~known
 
-        stock_head = self.runtime.trunk.cfg.head_type == "esm3"
-        trunk = self.runtime.trunk
-
-        def forward(params, tokens, seq_tokens, lengths):
-            out = trunk.apply(
-                {"params": params},
-                structure_tokens=tokens,
-                sequence_tokens=seq_tokens,
-                lengths=lengths,
-            )
-            logits = out.structure_logits.astype(jnp.float32)
-            if not stock_head:
-                logits = shield_special_tokens(logits)
-            return logits
-
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
                              granularity=self._n_shards())
         key = jax.random.PRNGKey(seed)
@@ -324,14 +358,17 @@ class EnsembleSampler:
             cache_key = (B, Lpad, config.num_steps, config.temperature,
                          config.top_p)
             if cache_key not in self._gibbs_jit_cache:
+                # pack is a pure function of (B, Lpad), both in cache_key
+                forward = self._trunk_forward(self._pack(B, Lpad))
+
                 # NB: params must be a jit ARGUMENT — closing over them bakes
                 # GBs of weights into the HLO as constants (see PERF.md).
                 def fn(params, key, init, dmask, seq_tokens, lengths,
-                       _steps=config.num_steps, _t=config.temperature,
-                       _p=config.top_p):
+                       _fwd=forward, _steps=config.num_steps,
+                       _t=config.temperature, _p=config.top_p):
                     return iterative_unmask_sample(
-                        lambda toks: forward(params, toks, seq_tokens,
-                                             lengths),
+                        lambda toks: _fwd(params, toks, seq_tokens,
+                                          lengths),
                         key, init, dmask, num_steps=_steps,
                         temperature=_t, top_p=_p,
                     )
@@ -376,18 +413,6 @@ class EnsembleSampler:
         decode_row = np.zeros((Lpad,), dtype=bool)
         decode_row[1:Lw - 1] = True
 
-        stock_head = self.runtime.trunk.cfg.head_type == "esm3"
-        trunk = self.runtime.trunk
-
-        def forward(params, tokens, seq_tokens, lengths):
-            out = trunk.apply(
-                {"params": params}, structure_tokens=tokens,
-                sequence_tokens=seq_tokens, lengths=lengths)
-            logits = out.structure_logits.astype(jnp.float32)
-            if not stock_head:
-                logits = shield_special_tokens(logits)
-            return logits
-
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
                              granularity=self._n_shards())
         key = jax.random.PRNGKey(seed)
@@ -396,12 +421,14 @@ class EnsembleSampler:
             cache_key = ("eb", B, Lpad, entropy_budget, temperature, top_p,
                          max_steps)
             if cache_key not in self._gibbs_jit_cache:
+                forward = self._trunk_forward(self._pack(B, Lpad))
+
                 def fn(params, key, init, dmask, seq_tokens, lengths,
-                       _eb=entropy_budget, _t=temperature, _p=top_p,
-                       _ms=max_steps):
+                       _fwd=forward, _eb=entropy_budget, _t=temperature,
+                       _p=top_p, _ms=max_steps):
                     return entropy_bounded_unmask_sample(
-                        lambda toks: forward(params, toks, seq_tokens,
-                                             lengths),
+                        lambda toks: _fwd(params, toks, seq_tokens,
+                                          lengths),
                         key, init, dmask, entropy_budget=_eb,
                         temperature=_t, top_p=_p, max_steps=_ms)
                 self._gibbs_jit_cache[cache_key] = jax.jit(fn)

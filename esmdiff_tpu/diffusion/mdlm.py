@@ -152,7 +152,8 @@ class MDLM:
 
     def forward_logits(self, params, xt, condition_seq, sigma,
                        shield_specials: bool = False, sequence_id=None,
-                       lengths=None, parameterize: bool = True):
+                       lengths=None, parameterize: bool = True,
+                       pack: int = 1):
         """Full conditioned forward -> parameterized log-probs
         (reference _model_wrapper, model.py:464-492).
 
@@ -162,7 +163,13 @@ class MDLM:
         which is invariant to the log-softmax normalization.  The sampler
         uses this to avoid materializing two extra (B, L, V) arrays per
         step; the carry-over rule is applied on the token level instead.
+
+        ``pack`` > 1 runs the trunk on a sequence-packed view — k rows per
+        device row with a block-diagonal segment mask (ops/packing.py);
+        same function, MXU-shaped attention at short L.  Requires
+        ``sequence_id is None`` and B % pack == 0.
         """
+        B, L = xt.shape
         if sigma is not None:
             sigma = self._process_sigma(sigma)
             cond = self.sigma_embedder.apply(
@@ -170,26 +177,46 @@ class MDLM:
             aux = jnp.tile(cond[:, None, :], (1, xt.shape[1], 1))
         else:
             aux = None
+        positions = None
+        if pack > 1:
+            if sequence_id is not None:
+                raise ValueError("pack > 1 is incompatible with an explicit "
+                                 "sequence_id (already-packed input)")
+            from esmdiff_tpu.ops.packing import (
+                packed_positions, packed_segment_ids)
+
+            sequence_id = packed_segment_ids(lengths, L, pack)
+            positions = packed_positions(L, pack)
+            lengths = None
+            xt = xt.reshape(B // pack, pack * L)
+            condition_seq = condition_seq.reshape(B // pack, pack * L)
+            if aux is not None:
+                aux = aux.reshape(B // pack, pack * L, -1)
         out = self.net.apply(
             {"params": params["net"]},
             structure_tokens=xt,
             sequence_tokens=condition_seq,
             sequence_id=sequence_id,
             lengths=lengths,
+            positions=positions,
             auxiliary_embeddings=aux,
         )
+        raw = out.structure_logits
+        if pack > 1:
+            raw = raw.reshape(B, L, raw.shape[-1])
+            xt = xt.reshape(B, L)
         if parameterize:
-            logits = logits_parameterization(out.structure_logits, xt,
-                                             self.cfg)
+            logits = logits_parameterization(raw, xt, self.cfg)
         else:
             mask_onehot = jax.nn.one_hot(
                 jnp.asarray(self.cfg.mask_index),
-                out.structure_logits.shape[-1], dtype=jnp.float32)
-            logits = (out.structure_logits.astype(jnp.float32)
-                      + mask_onehot * NEG_INFINITY)
+                raw.shape[-1], dtype=jnp.float32)
+            logits = raw.astype(jnp.float32) + mask_onehot * NEG_INFINITY
         if shield_specials:
             logits = shield_special_tokens(logits)
         seq_logits = out.sequence_logits if self.cfg.sequence_prediction else None
+        if pack > 1 and seq_logits is not None:
+            seq_logits = seq_logits.reshape(B, L, seq_logits.shape[-1])
         return logits, seq_logits
 
     # -- training objective ---------------------------------------------------
@@ -285,12 +312,16 @@ class MDLM:
         shield_specials: bool = True,
         sequence_id=None,
         lengths=None,
+        pack: int = 1,
     ):
         """25-step ancestral denoising as one ``lax.scan``
         (reference ddpm_sample/_ddpm_update, model.py:543-607).
 
         sequence_tokens: (B, L) int conditioning (with BOS/EOS).
         input_prior: optional (B, L) partially-masked tokens for inpainting.
+        pack: sequence-packing factor for the trunk forwards (ops/packing.py)
+        — sampler state and RNG draws stay at (B, L), so results for a given
+        seed are unchanged (up to trunk fp reduction order).
         Returns (B, L) int32 structure tokens (with BOS/EOS slots).
         """
         cfg = self.cfg
@@ -323,7 +354,7 @@ class MDLM:
             z, _ = self.forward_logits(
                 params, x, sequence_tokens, sigma_t[:, None],
                 shield_specials=shield_specials, sequence_id=sequence_id,
-                lengths=lengths, parameterize=False,
+                lengths=lengths, parameterize=False, pack=pack,
             )
             # Two-stage factorization of the reference posterior sample
             # (model.py:602-604): q_xs = p(x0)*(mc_t-mc_s) with mass mc_s on

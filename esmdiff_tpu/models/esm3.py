@@ -162,11 +162,12 @@ class TransformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, sequence_id=None, affine: Optional[Affine3D] = None,
                  affine_mask=None, chain_id=None, skip_geom: bool = False,
-                 lengths=None):
+                 lengths=None, positions=None):
         cfg = self.cfg
         L = x.shape[1]
         rot_cos, rot_sin = rotary_tables(
-            L, cfg.d_model // cfg.n_heads, dtype=jnp.float32
+            L, cfg.d_model // cfg.n_heads, dtype=jnp.float32,
+            positions=positions,
         )
         # Masking contract (see nn/attention.py): ``lengths`` = prefix padding
         # (flash-eligible); ``sequence_id`` = arbitrary packing (XLA mask path
@@ -350,6 +351,7 @@ class ESM3(nn.Module):
         chain_id=None,
         sequence_id=None,
         lengths=None,
+        positions=None,
         auxiliary_embeddings=None,
     ) -> ESMOutput:
         x, affine, affine_mask, chain_id, skip_geom = self.embed(
@@ -367,6 +369,6 @@ class ESM3(nn.Module):
         )
         x, embedding = self.transformer(
             x, sequence_id, affine, affine_mask, chain_id,
-            skip_geom=skip_geom, lengths=lengths,
+            skip_geom=skip_geom, lengths=lengths, positions=positions,
         )
         return self.output_heads(x, embedding)

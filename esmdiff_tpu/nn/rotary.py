@@ -12,11 +12,20 @@ import jax.numpy as jnp
 
 
 def rotary_tables(length: int, head_dim: int, base: float = 10000.0,
-                  dtype=jnp.float32):
-    """Return (cos, sin), each (length, head_dim)."""
+                  dtype=jnp.float32, positions=None):
+    """Return (cos, sin), each (length, head_dim).
+
+    positions: optional (length,) override of the default 0..length-1
+    absolute positions — used by sequence-packed execution, where k short
+    rows share one device row and positions restart at each segment
+    boundary (see nn/attention.py masking contract).
+    """
     half = head_dim // 2
     inv_freq = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) / half))
-    pos = jnp.arange(length, dtype=jnp.float32)
+    if positions is None:
+        pos = jnp.arange(length, dtype=jnp.float32)
+    else:
+        pos = positions.astype(jnp.float32)
     freqs = jnp.einsum("l,d->ld", pos, inv_freq)  # (L, half)
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # (L, head_dim)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)

@@ -5,7 +5,8 @@ default), parses the xplane with jax.profiler.ProfileData, and prints the
 top device ops by total self-time — the measurement VERDICT round 2 item 2
 asks for (where do the ~25 ms/step of non-GEMM time actually go).
 
-Run on the chip:  python scripts/profile_step.py [B] [L]
+Run on the chip:  python scripts/profile_step.py [B] [L] [trace_dir] [quant]
+(pass ``int8`` as the 4th arg to profile the W8A8 serving config)
 """
 
 import os
@@ -26,9 +27,12 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 STEPS = 25
 TRACE_DIR = sys.argv[3] if len(sys.argv) > 3 else "/tmp/esmdiff_profile"
+QUANT = sys.argv[4] if len(sys.argv) > 4 else "none"
 
 
 def main():
+    import dataclasses
+
     from esmdiff_tpu.models.esm3 import ESM3, ESM3Config
 
     cfg = ESM3Config(head_type="structure", param_dtype="bfloat16",
@@ -39,6 +43,12 @@ def main():
     params = jax.jit(lambda k: net.init(
         k, sequence_tokens=seq0, structure_coords=coords0))(
         jax.random.PRNGKey(0))["params"]
+    if QUANT == "int8":
+        from esmdiff_tpu.ops.quant import quantize_trunk_params
+
+        net = ESM3(dataclasses.replace(cfg, quant="int8"))
+        params = jax.jit(quantize_trunk_params)(params)
+        print("[quant] profiling the W8A8 int8 trunk")
 
     rng = np.random.RandomState(0)
     seq = jnp.asarray(rng.randint(4, 24, (B, L)), jnp.int32)
