@@ -18,9 +18,16 @@ from .rotary import apply_rotary
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32, no bias (ESM3 convention)."""
+    """LayerNorm computed in fp32, no bias (ESM3 convention).
+
+    use_scale=False owns NO scale param and skips the gamma multiply — used
+    by the int8 path, where quantize_trunk_params folds gamma into the
+    following projection's quantized weights (exact reassociation; kills
+    the per-layer f32[d] gamma slice copies the round-3 profile measured
+    at ~6 ms/step in the 25-step scan)."""
 
     use_bias: bool = False
+    use_scale: bool = True
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -30,10 +37,12 @@ class LayerNorm(nn.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-5))
-        scale = self.param(
-            "scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype
-        )
-        y = y * scale
+        if self.use_scale:
+            scale = self.param(
+                "scale", nn.initializers.ones, (x.shape[-1],),
+                self.param_dtype
+            )
+            y = y * scale
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (x.shape[-1],), self.param_dtype
@@ -93,7 +102,8 @@ class MultiHeadAttention(nn.Module):
                                  "qkv_backend='fused'")
             from esmdiff_tpu.ops.quant import QuantDense
 
-            h = LayerNorm(name="ln")(x)
+            # gamma is folded into the quantized qkv kernel (ops/quant.py)
+            h = LayerNorm(name="ln", use_scale=False)(x)
             qkv = QuantDense(3 * self.d_model, dtype=self.dtype,
                              name="qkv")(h)
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -158,14 +168,16 @@ class SwiGLUFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = LayerNorm(name="ln")(x)
         if self.quant == "int8":
             from esmdiff_tpu.ops.quant import QuantDense
 
+            # gamma folded into the quantized up-projection (ops/quant.py)
+            h = LayerNorm(name="ln", use_scale=False)(x)
             up = QuantDense(2 * self.hidden, dtype=self.dtype, name="up")(h)
             a, b = jnp.split(up, 2, axis=-1)
             return QuantDense(self.d_model, dtype=self.dtype,
                               name="down")(nn.silu(a) * b)
+        h = LayerNorm(name="ln")(x)
         up = nn.Dense(
             2 * self.hidden, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name="up",

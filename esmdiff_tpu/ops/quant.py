@@ -11,8 +11,9 @@ module provides:
     dot_general with int32 accumulation and an fp32 dequant epilogue;
   - ``QuantDense``: drop-in replacement for ``nn.Dense(use_bias=False)``
     that owns pre-quantized params (``kernel_q`` int8 + ``scale`` fp32);
-  - ``quantize_dense_tree``: converts a trained fp32 param subtree
-    (``{kernel}`` leaves) to the QuantDense layout (``{kernel_q, scale}``).
+  - ``quantize_trunk_params``: converts a trained fp32 trunk tree to the
+    QuantDense layout, folding the pre-projection LayerNorm gammas into
+    the qkv/up kernels (exact reassociation — see ``_FOLD_LN``).
 
 Quantization recipe (standard W8A8 dynamic): weights are quantized once,
 offline, per output channel; activations are quantized per token (row)
@@ -96,13 +97,24 @@ class QuantDense(nn.Module):
 # geom-attn is statically skipped on the sampling path).
 _QUANT_SITES = {"attn": ("qkv", "out"), "ffn": ("up", "down")}
 
+# Pre-projection LayerNorm gamma is folded into these kernels before
+# quantization: LN_noscale(x) @ (diag(gamma) @ W) == LN(x) @ W — an exact
+# reassociation, done offline, so the int8 step never touches the per-layer
+# f32[d] gamma vectors (the round-3 profile measured their scan slice
+# copies at ~6 ms/step).  The QK layernorms canNOT be folded — rotary mixes
+# channel pairs between gamma and the attention dot.
+_FOLD_LN = {"attn": "qkv", "ffn": "up"}
+
 
 def quantize_trunk_params(tree):
     """Convert a trained fp32 trunk param tree to the layout the
     ``quant="int8"`` trunk expects: every attention/FFN projection kernel
-    becomes ``{kernel_q, scale}``; everything else is untouched.  Works on
-    both per-layer blocks (``block0``) and the scan-stacked ``blocks``
-    subtree (rank-3 kernels quantize per layer per output channel).
+    becomes ``{kernel_q, scale}``; the pre-projection LN gamma is folded
+    into the qkv/up kernels and dropped from the tree (the int8 modules
+    run those LayerNorms with ``use_scale=False``); everything else is
+    untouched.  Works on both per-layer blocks (``block0``) and the
+    scan-stacked ``blocks`` subtree (rank-3 kernels quantize per layer per
+    output channel; gamma is then (n_layers, d)).
     """
     if not isinstance(tree, dict):
         return tree
@@ -110,10 +122,21 @@ def quantize_trunk_params(tree):
     for k, v in tree.items():
         if k in _QUANT_SITES and isinstance(v, dict):
             sub = dict(v)
+            gamma = None
+            ln = sub.get("ln")
+            if isinstance(ln, dict) and set(ln.keys()) == {"scale"}:
+                gamma = jnp.asarray(ln["scale"], jnp.float32)
+            folded = False
             for name in _QUANT_SITES[k]:
                 if name in sub and set(sub[name].keys()) == {"kernel"}:
-                    q, s = quantize_weight(sub[name]["kernel"])
+                    w = sub[name]["kernel"]
+                    if name == _FOLD_LN[k] and gamma is not None:
+                        w = jnp.asarray(w, jnp.float32) * gamma[..., :, None]
+                        folded = True
+                    q, s = quantize_weight(w)
                     sub[name] = {"kernel_q": q, "scale": s}
+            if folded:
+                del sub["ln"]
             out[k] = {kk: quantize_trunk_params(vv) for kk, vv in sub.items()}
         else:
             out[k] = quantize_trunk_params(v)

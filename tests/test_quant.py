@@ -92,8 +92,11 @@ def test_converter_selectivity():
             leaf = blk[path[0]][path[1]]
             assert set(leaf.keys()) == {"kernel_q", "scale"}, path
             assert leaf["kernel_q"].dtype == jnp.int8
-        # layernorms untouched
-        assert "scale" in blk["attn"]["ln"]
+        # pre-projection LN gammas folded into qkv/up and dropped; the QK
+        # layernorms (not foldable through rotary) keep their scales
+        assert "ln" not in blk["attn"] and "ln" not in blk["ffn"]
+        assert "scale" in blk["attn"]["q_ln"]
+        assert "scale" in blk["attn"]["k_ln"]
     # geometric attention and heads untouched
     assert "geom_attn" in tr["block0"]
     flat_q = jax.tree_util.tree_flatten_with_path(tr["block0"]["geom_attn"])
