@@ -142,7 +142,9 @@ class ESM3Runtime:
         self._jit_encode = jax.jit(
             lambda p, bb: self.encoder.apply(p, bb))
         self._jit_decode = jax.jit(
-            lambda p, t: self.decoder.apply(p, t, compute_ptm=False))
+            lambda p, t, pack=1: self.decoder.apply(
+                p, t, compute_ptm=False, pack=pack),
+            static_argnames=("pack",))
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -274,8 +276,12 @@ class ESM3Runtime:
 
         structure_tokens: (N, L+2) with BOS/EOS; sequences: list of N strings.
         """
+        from esmdiff_tpu.ops.packing import pack_factor
+
+        toks = jnp.asarray(structure_tokens)
         out = self._jit_decode(
-            {"params": self.decoder_params}, jnp.asarray(structure_tokens))
+            {"params": self.decoder_params}, toks,
+            pack=pack_factor(toks.shape[0], toks.shape[1]))
         bb = np.asarray(out["bb_pred"])[:, 1:-1]  # strip BOS/EOS
         prots = []
         for i, seq in enumerate(sequences):

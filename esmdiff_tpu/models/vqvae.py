@@ -224,7 +224,8 @@ class StructureTokenDecoder(nn.Module):
     cfg: DecoderConfig = DecoderConfig()
 
     @nn.compact
-    def __call__(self, structure_tokens, compute_ptm: bool = True):
+    def __call__(self, structure_tokens, compute_ptm: bool = True,
+                 pack: int = 1):
         """(B, L) int tokens -> dict(bb_pred (B, L, 3, 3), plddt (B, L),
         ptm (B,)).
 
@@ -237,7 +238,27 @@ class StructureTokenDecoder(nn.Module):
             C.STRUCTURE_VOCAB_SIZE, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
             param_dtype=jnp.float32, name="embed",
         )(structure_tokens)
-        x, _ = TransformerStack(cfg.stack_config(), name="decoder_stack")(x)
+        if pack > 1:
+            # Sequence-packed stack execution (ops/packing.py): k rows share
+            # one device row under a block-diagonal segment mask with
+            # per-segment rotary positions.  The unpacked decoder attends
+            # unmasked over each full row, and a packed segment attends
+            # exactly its own full segment — the same key sets — so this is
+            # the same function (bitwise on CPU; tests/test_packing.py).
+            # Heads (incl. the pairwise pTM) always see the unpacked shape.
+            from esmdiff_tpu.ops.packing import (
+                packed_positions, packed_segment_ids)
+
+            B, L, D = x.shape
+            x, _ = TransformerStack(cfg.stack_config(), name="decoder_stack")(
+                x.reshape(B // pack, pack * L, D),
+                sequence_id=packed_segment_ids(None, L, pack),
+                positions=packed_positions(L, pack),
+            )
+            x = x.reshape(B, L, D)
+        else:
+            x, _ = TransformerStack(cfg.stack_config(),
+                                    name="decoder_stack")(x)
         bb_pred, _ = Dim6RotStructureHead(
             cfg.d_model, trans_scale=cfg.trans_scale,
             dtype=jnp.dtype(cfg.dtype), name="affine_output_projection",

@@ -131,6 +131,27 @@ def test_ddpm_sample_pack_identical_tokens(tiny_mdlm):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
 
+def test_decoder_packed_parity_on_cpu():
+    """The VQ decoder attends unmasked over each row; a packed segment
+    attends exactly its own full segment — the same function up to fp
+    reduction grouping (XLA tiles the packed matmul shapes differently, so
+    unlike the masked trunk case this is not bitwise)."""
+    from esmdiff_tpu.models.vqvae import DecoderConfig, StructureTokenDecoder
+
+    cfg = DecoderConfig(d_model=64, n_heads=2, n_layers=2, dtype="float32",
+                        scan_layers=False)
+    dec = StructureTokenDecoder(cfg)
+    rng = np.random.RandomState(3)
+    toks = jnp.asarray(rng.randint(0, 4096, (4, 12)), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(0), toks[:1])["params"]
+    ref = dec.apply({"params": params}, toks, compute_ptm=False)
+    pk = dec.apply({"params": params}, toks, compute_ptm=False, pack=2)
+    np.testing.assert_allclose(np.asarray(ref["bb_pred"]),
+                               np.asarray(pk["bb_pred"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ref["plddt"]),
+                               np.asarray(pk["plddt"]), atol=1e-4)
+
+
 def test_forward_logits_pack_rejects_explicit_sequence_id(tiny_mdlm):
     mdlm, params = tiny_mdlm
     B, L = 4, 8
