@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", type=str, default="full",
                    choices=["full", "tiny"])
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 AR projections + heads (ops/quant.py); "
+                        "the weight-bandwidth-bound decode step roughly "
+                        "halves its HBM traffic (PERF.md)")
     args = p.parse_args(argv)
 
     train_cfg = None
@@ -128,6 +133,20 @@ def main(argv=None):
     if args.ckpt:
         from esmdiff_tpu.convert.checkpoints import load_ar_params
         params = load_ar_params(args.ckpt, params)
+    if args.quant == "int8":
+        import dataclasses
+
+        if model_type == "clm":
+            from esmdiff_tpu.models.clm import quantize_clm_params
+
+            model = CLM(dataclasses.replace(model.cfg, quant="int8"))
+            params = jax.jit(quantize_clm_params)(params)
+        else:
+            from esmdiff_tpu.models.jlm import quantize_jlm_params
+
+            model = JLM(dataclasses.replace(model.cfg, quant="int8"))
+            params = jax.jit(quantize_jlm_params)(params)
+        print(f"[quant] {model_type} projections running W8A8 int8")
 
     _fwd = jax.jit(lambda p, seq: runtime.trunk.apply(
         {"params": p}, sequence_tokens=seq))

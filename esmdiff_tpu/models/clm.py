@@ -41,6 +41,11 @@ class CLMConfig:
     decoder_only: bool = False                      # net.py:279-281
     dec_add_input_emb: bool = False                 # net.py:284-294
     dtype: str = "bfloat16"
+    # "int8" = W8A8 attention/FFN projections + lm_head (ops/quant.py) —
+    # inference-only; params converted by quantize_clm_params.  The AR
+    # decode step is weight-bandwidth-bound at serving batch sizes, so
+    # int8 weights roughly halve the per-step HBM traffic vs bf16.
+    quant: str = "none"
 
     @property
     def jnp_dtype(self):
@@ -111,6 +116,16 @@ class RelPosBias(nn.Module):
         return jnp.transpose(table[buckets], (2, 0, 1))[None]
 
 
+def _dense(cfg, features: int, name: str):
+    """Projection layer honoring cfg.quant (bias-free in both modes)."""
+    if cfg.quant == "int8":
+        from esmdiff_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, dtype=cfg.jnp_dtype, name=name)
+    return nn.Dense(features, use_bias=False, dtype=cfg.jnp_dtype,
+                    param_dtype=jnp.float32, name=name)
+
+
 class T5Attention(nn.Module):
     cfg: CLMConfig
 
@@ -125,9 +140,7 @@ class T5Attention(nn.Module):
         """
         cfg = self.cfg
         kv_in = x if kv is None else kv
-        dense = lambda name: nn.Dense(
-            cfg.d_model, use_bias=False, dtype=cfg.jnp_dtype,
-            param_dtype=jnp.float32, name=name)
+        dense = lambda name: _dense(cfg, cfg.d_model, name)
         B, Lq, _ = x.shape
         q = dense("q")(x).reshape(B, Lq, cfg.n_heads, cfg.d_head)
         k = dense("k")(kv_in).reshape(B, -1, cfg.n_heads, cfg.d_head)
@@ -158,9 +171,7 @@ class T5FFN(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        dense = lambda feat, name: nn.Dense(
-            feat, use_bias=False, dtype=cfg.jnp_dtype,
-            param_dtype=jnp.float32, name=name)
+        dense = lambda feat, name: _dense(cfg, feat, name)
         g = nn.gelu(dense(cfg.d_ff, "wi_0")(x))
         h = dense(cfg.d_ff, "wi_1")(x)
         return dense(cfg.d_model, "wo")(g * h)
@@ -217,6 +228,9 @@ class CLM(nn.Module):
         self.dec_norm = RMSNorm(name="dec_norm")
         self.dec_relpos = RelPosBias(cfg, bidirectional=False,
                                      name="dec_relpos")
+        # lm_head stays fp in quant mode: it writes logits directly (no
+        # downstream averaging to absorb quantization noise) and is a tiny
+        # share of per-step weight traffic
         self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
                                 dtype=cfg.jnp_dtype, param_dtype=jnp.float32,
                                 name="lm_head")
@@ -312,3 +326,18 @@ class CLM(nn.Module):
             new_caches.append(nc)
         logits = self.lm_head(self.dec_norm(x))[:, 0].astype(jnp.float32)
         return logits, new_caches
+
+
+# Dense leaves CLMConfig(quant="int8") swaps to QuantDense — the per-block
+# q/k/v/o projections and the gated-GELU FFN.  The adapter / embeddings /
+# RMSNorms / lm_head stay fp (the adapter runs once per prefill, the head
+# writes logits directly; name matching is structural — only
+# {kernel[, bias]} leaves convert).
+CLM_QUANT_NAMES = frozenset({"q", "k", "v", "o", "wi_0", "wi_1", "wo"})
+
+
+def quantize_clm_params(tree):
+    """Trained fp32 CLM tree -> the CLMConfig(quant='int8') layout."""
+    from esmdiff_tpu.ops.quant import quantize_named_denses
+
+    return quantize_named_denses(tree, CLM_QUANT_NAMES)

@@ -43,6 +43,9 @@ class JLMConfig:
     sep_strategy: str = "sentence"    # 'sentence' | 'position'
     seq_loss_weight: float = 1.0
     dtype: str = "bfloat16"
+    # "int8" = W8A8 block projections + output heads (ops/quant.py) —
+    # inference-only; params converted by quantize_jlm_params
+    quant: str = "none"
 
     @property
     def jnp_dtype(self):
@@ -59,8 +62,15 @@ class GPT2Block(nn.Module):
     @nn.compact
     def __call__(self, x, mask, cache=None, cache_index=None):
         cfg = self.cfg
-        dense = lambda feat, name: nn.Dense(
-            feat, dtype=cfg.jnp_dtype, param_dtype=jnp.float32, name=name)
+        if cfg.quant == "int8":
+            from esmdiff_tpu.ops.quant import QuantDense
+
+            # GPT-2 projections carry biases (HF layout)
+            dense = lambda feat, name: QuantDense(
+                feat, dtype=cfg.jnp_dtype, use_bias=True, name=name)
+        else:
+            dense = lambda feat, name: nn.Dense(
+                feat, dtype=cfg.jnp_dtype, param_dtype=jnp.float32, name=name)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(cfg.jnp_dtype)
         B, Lq, _ = h.shape
         qkv = dense(3 * cfg.n_embd, "qkv")(h)
@@ -119,6 +129,8 @@ class JLM(nn.Module):
         self.blocks = [GPT2Block(cfg, name=f"block{i}")
                        for i in range(cfg.n_layers)]
         self.ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_f")
+        # heads stay fp in quant mode (they write logits directly; tiny
+        # share of per-step weight traffic)
         self.sequence_head = nn.Dense(cfg.seq_vocab, use_bias=False,
                                       dtype=cfg.jnp_dtype,
                                       param_dtype=jnp.float32,
@@ -257,3 +269,16 @@ class JLM(nn.Module):
             new_caches.append(nc)
         h = self.ln_f(x).astype(cfg.jnp_dtype)
         return self.structure_head(h)[:, 0].astype(jnp.float32), new_caches
+
+
+# Dense leaves JLMConfig(quant="int8") swaps to QuantDense — the GPT-2
+# block projections (with their HF biases).  The adapters / embeddings /
+# LayerNorms / output heads stay fp.
+JLM_QUANT_NAMES = frozenset({"qkv", "attn_out", "mlp_up", "mlp_down"})
+
+
+def quantize_jlm_params(tree):
+    """Trained fp32 JLM tree -> the JLMConfig(quant='int8') layout."""
+    from esmdiff_tpu.ops.quant import quantize_named_denses
+
+    return quantize_named_denses(tree, JLM_QUANT_NAMES)

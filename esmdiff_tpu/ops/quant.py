@@ -66,16 +66,19 @@ def int8_dot(x, kernel_q, scale, out_dtype=jnp.bfloat16):
 
 
 class QuantDense(nn.Module):
-    """``nn.Dense(features, use_bias=False)`` with pre-quantized int8
-    weights.  Owns ``kernel_q`` (int8, (D, F)) and ``scale`` (fp32, (F,)).
+    """``nn.Dense(features)`` with pre-quantized int8 weights.  Owns
+    ``kernel_q`` (int8, (D, F)) and ``scale`` (fp32, (F,)); with
+    ``use_bias`` additionally ``bias`` (fp32, (F,)) added after dequant.
 
     Initialized params are placeholders (zeros/ones) — real values come
-    from ``quantize_dense_tree`` over a trained fp32 tree.  Module names
-    mirror the fp32 model so the two param trees align path-for-path.
+    from ``quantize_trunk_params``/``quantize_named_denses`` over a trained
+    fp32 tree.  Module names mirror the fp32 model so the two param trees
+    align path-for-path.
     """
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -88,7 +91,13 @@ class QuantDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        return int8_dot(x, kernel_q, scale, out_dtype=self.dtype)
+        out = int8_dot(x, kernel_q, scale, out_dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 # The exact Dense leaves ESM3Config(quant="int8") swaps to QuantDense:
@@ -140,4 +149,25 @@ def quantize_trunk_params(tree):
             out[k] = {kk: quantize_trunk_params(vv) for kk, vv in sub.items()}
         else:
             out[k] = quantize_trunk_params(v)
+    return out
+
+
+def quantize_named_denses(tree, names):
+    """Generic converter for the AR nets (CLM/JLM): any subtree whose key is
+    in ``names`` and whose params are a Dense leaf ``{kernel[, bias]}``
+    becomes the QuantDense layout ``{kernel_q, scale[, bias]}`` (bias kept
+    fp32).  Everything else is untouched."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if (k in names and isinstance(v, dict)
+                and set(v.keys()) <= {"kernel", "bias"} and "kernel" in v):
+            q, s = quantize_weight(v["kernel"])
+            leaf = {"kernel_q": q, "scale": s}
+            if "bias" in v:
+                leaf["bias"] = v["bias"]
+            out[k] = leaf
+        else:
+            out[k] = quantize_named_denses(v, names)
     return out

@@ -151,6 +151,23 @@ def test_sample_ar_cli_predict_config(tmp_path):
     assert merged.read_text().count("MODEL") >= 2  # n_samples from the yaml
 
 
+def test_sample_ar_cli_quant_int8(tmp_path):
+    """`esmdiff-sample-ar --quant int8` runs the W8A8 AR decode path
+    end-to-end (tiny scale) and writes a valid ensemble."""
+    from esmdiff_tpu.cli.sample_ar import main as ar_main
+
+    pdb_dir = tmp_path / "targets"
+    pdb_dir.mkdir()
+    shutil.copy(BPTI, pdb_dir / "bpti.pdb")
+    out = tmp_path / "out"
+    ar_main(["--input", str(pdb_dir), "--output", str(out),
+             "--model_type", "clm", "--model_scale", "tiny",
+             "--n_samples", "2", "--batch_size", "2", "--quant", "int8"])
+    merged = out / "bpti.pdb"
+    assert merged.exists()
+    assert merged.read_text().count("MODEL") >= 2
+
+
 def test_clm_requires_embeddings(tmp_path):
     """A corpus without embeddings must fail loudly for AR tasks."""
     from esmdiff_tpu.core import constants as C
