@@ -1,10 +1,12 @@
 """AR (CLM/JLM) sampling throughput on the real TPU.
 
 Usage:  python scripts/ar_bench.py [B] [L] [model ...]
-Builds the full-size reference geometries (CLM: 12-layer T5 enc-dec d=1280,
-configs/clm.yaml; JLM: 48-layer GPT-2 d=1280, configs/jlm.yaml), random
-params, random (B, L, 1536) trunk embeddings, and times one scanned KV
-decode of L structure tokens.  Same protocol as scripts/ablate_step.py.
+where model is clm | jlm | clm_int8 | jlm_int8 (W8A8 projections,
+ops/quant.py).  Builds the full-size reference geometries (CLM: 12-layer
+T5 enc-dec d=1280, configs/clm.yaml; JLM: 48-layer GPT-2 d=1280,
+configs/jlm.yaml), random params, random (B, L, 1536) trunk embeddings,
+and times one scanned KV decode of L structure tokens.  Same protocol as
+scripts/ablate_step.py.
 """
 
 import os
@@ -28,27 +30,36 @@ COND_DIM = 1536
 
 
 def run(which: str):
-    from esmdiff_tpu.api.ar_generation import clm_generate, jlm_generate
-    from esmdiff_tpu.models.clm import CLM, CLMConfig
-    from esmdiff_tpu.models.jlm import JLM, JLMConfig
+    import dataclasses
 
+    from esmdiff_tpu.api.ar_generation import clm_generate, jlm_generate
+    from esmdiff_tpu.models.clm import (CLM, CLMConfig, quantize_clm_params)
+    from esmdiff_tpu.models.jlm import (JLM, JLMConfig, quantize_jlm_params)
+
+    base, _, variant = which.partition("_")
     rng = np.random.RandomState(0)
     emb = jnp.asarray(rng.randn(B, L, COND_DIM) * 0.1, jnp.float32)
     key = jax.random.PRNGKey(0)
 
     # reference experiment geometries (configs/experiment/{clm,jlm}.yaml:
     # CLM d=1280 ff=2048 12L; JLM d=1280 48L 16H)
-    if which == "clm":
+    if base == "clm":
         model = CLM(CLMConfig(cond_dim=COND_DIM, d_model=1280, d_ff=2048,
                               n_layers=12, n_heads=16))
         params = jax.jit(lambda k: model.init(
             k, emb[:1, :8], jnp.zeros((1, 8), jnp.int32)))(key)["params"]
+        if variant == "int8":
+            model = CLM(dataclasses.replace(model.cfg, quant="int8"))
+            params = jax.jit(quantize_clm_params)(params)
         gen = lambda e, k: clm_generate(model, params, e, L, 1.0, 0.95, key=k)
     else:
         model = JLM(JLMConfig(cond_dim=COND_DIM, n_embd=1280, n_layers=48,
                               n_heads=16))
         params = jax.jit(lambda k: model.init(
             k, emb[:1, :8], jnp.zeros((1, 8), jnp.int32)))(key)["params"]
+        if variant == "int8":
+            model = JLM(dataclasses.replace(model.cfg, quant="int8"))
+            params = jax.jit(quantize_jlm_params)(params)
         gen = lambda e, k: jlm_generate(model, params, e, L, 1.0, 0.95, key=k)
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
