@@ -155,6 +155,36 @@ class EnsembleSampler:
         }
 
     # -- shared helpers -------------------------------------------------------
+    def _multi_rows(self, sequences: Sequence[str], counts: Sequence[int]):
+        """Per-request padded sequence rows, replicated to each request's
+        sample count, concatenated into one (N, Lpad) array.  All sequences
+        must land in the same length bucket (the serving coalescer groups by
+        bucket, so this is an invariant there, an error here)."""
+        padded, lws = [], []
+        for s in sequences:
+            row, lw = self._padded_tokens(s, None)
+            padded.append(row)
+            lws.append(lw)
+        Lpad = len(padded[0])
+        if any(len(p) != Lpad for p in padded):
+            raise ValueError(
+                "coalesced sequences must share a length bucket: got pads "
+                f"{sorted({len(p) for p in padded})}")
+        seq_rows = np.concatenate(
+            [np.tile(p[None], (c, 1)) for p, c in zip(padded, counts)])
+        return seq_rows, lws, Lpad
+
+    @staticmethod
+    def _split_rows(all_tokens: np.ndarray, lws: Sequence[int],
+                    counts: Sequence[int]) -> list[np.ndarray]:
+        """Split (N, Lpad) batch rows back per request, trimming each to its
+        own interior length (strip BOS/EOS + bucket padding)."""
+        out, r = [], 0
+        for lw, c in zip(lws, counts):
+            out.append(all_tokens[r:r + c, 1:lw - 1])
+            r += c
+        return out
+
     def _padded_tokens(self, sequence: str, pad_to: Optional[int]):
         seq_tokens = self.runtime.seq_tokenizer.encode(sequence)
         Lw = len(seq_tokens)
@@ -260,25 +290,29 @@ class EnsembleSampler:
         ``ref_compat=True`` reproduces the reference's indexing bit-for-bit
         for output-level parity runs.
         """
+        use_prior = mask_ids is not None or filled_ids is not None
+        if not use_prior:
+            # the multi engine with one request is bitwise-identical (same
+            # rows, same per-batch key splits) — keep ONE code path warm
+            return self.ddpm_ensemble_multi(
+                [sequence], [num_samples], num_steps=num_steps, eps=eps,
+                seed=seed, sample_max_t=sample_max_t, budget=budget,
+                max_batch=max_batch)[0]
         seq_padded, Lw = self._padded_tokens(sequence, None)
         Lpad = len(seq_padded)
 
-        use_prior = mask_ids is not None or filled_ids is not None
         off = 0 if ref_compat else 1  # +1 maps residue idx -> token idx
         prior_row = np.full((Lpad,), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
-        if use_prior:
-            assert structure_tokens is not None
-            prior_row[:Lw] = structure_tokens
-            if mask_ids is not None:
-                for idx in mask_ids:
-                    prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
-            else:
-                keep = set(filled_ids)
-                for idx in range(Lw - 2):
-                    if idx not in keep:
-                        prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
+        assert structure_tokens is not None
+        prior_row[:Lw] = structure_tokens
+        if mask_ids is not None:
+            for idx in mask_ids:
+                prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
         else:
-            prior_row[:Lw] = C.STRUCTURE_MASK_TOKEN
+            keep = set(filled_ids)
+            for idx in range(Lw - 2):
+                if idx not in keep:
+                    prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
 
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
                              granularity=self._n_shards())
@@ -305,6 +339,57 @@ class EnsembleSampler:
         tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]  # strip BOS/EOS (reference :220-221)
 
+    def ddpm_ensemble_multi(
+        self,
+        sequences: Sequence[str],
+        counts: Sequence[int],
+        num_steps: int = 25,
+        eps: float = 1e-5,
+        seed: int = 0,
+        sample_max_t: float = 1.0,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        max_batch: Optional[int] = None,
+    ) -> list[np.ndarray]:
+        """Coalesced ddpm generation: several same-bucket requests share one
+        batch plan and the SAME warm per-bucket executables (the programs take
+        sequence tokens per row, so nothing recompiles).  Returns one
+        (counts[i], L_i) interior-token array per request.  No inpainting —
+        the serving layer routes prior-conditioned requests to
+        :meth:`ddpm_ensemble`."""
+        seq_rows, lws, Lpad = self._multi_rows(sequences, counts)
+        N = seq_rows.shape[0]
+        prior_rows = np.full((N, Lpad), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+        r = 0
+        for lw, c in zip(lws, counts):
+            prior_rows[r:r + c, :lw] = C.STRUCTURE_MASK_TOKEN
+            r += c
+
+        sizes = plan_batches(max(lws), N, budget, max_batch,
+                             granularity=self._n_shards())
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        start = 0
+        for B in sizes:
+            cache_key = (B, Lpad, num_steps, eps, sample_max_t)
+            if cache_key not in self._ddpm_jit_cache:
+                self._ddpm_jit_cache[cache_key] = self._ddpm_fn(
+                    B, Lpad, num_steps, eps, sample_max_t, True)
+            fn = self._ddpm_jit_cache[cache_key]
+            key, k = jax.random.split(key)
+            # the plan's final round-up batch may exceed the remaining rows:
+            # clamp the cursor (surplus rows re-sample the last request and
+            # are trimmed by _split_rows)
+            idx = np.minimum(np.arange(start, start + B), N - 1)
+            batch = self._device_batch({
+                "seq": seq_rows[idx], "prior": prior_rows[idx]})
+            seq_b = batch["seq"]
+            lengths = jnp.sum(seq_b != C.SEQUENCE_PAD_TOKEN, axis=-1,
+                              dtype=jnp.int32)
+            toks = fn(self._mdlm_params, k, seq_b, lengths, batch["prior"])
+            outs.append(np.asarray(toks))
+            start += B
+        return self._split_rows(np.concatenate(outs, axis=0), lws, counts)
+
     # -- gibbs ----------------------------------------------------------------
     def gibbs_ensemble(
         self,
@@ -330,6 +415,12 @@ class EnsembleSampler:
             )
             coordinates = coordinates.copy()
             coordinates[list(mask_ids)] = np.inf
+
+        if coordinates is None:
+            # no prior: the multi engine with one request is bitwise-identical
+            return self.gibbs_ensemble_multi(
+                [sequence], [num_samples], config=config, seed=seed,
+                budget=budget, max_batch=max_batch)[0]
 
         seq_padded, Lw = self._padded_tokens(sequence, None)
         Lpad = len(seq_padded)
@@ -388,6 +479,67 @@ class EnsembleSampler:
             outs.append(np.asarray(toks)[:, :Lw])
         tokens = np.concatenate(outs, axis=0)[:num_samples]
         return tokens[:, 1:-1]
+
+    def gibbs_ensemble_multi(
+        self,
+        sequences: Sequence[str],
+        counts: Sequence[int],
+        config: GenerationConfig = GenerationConfig(),
+        seed: int = 0,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        max_batch: Optional[int] = None,
+    ) -> list[np.ndarray]:
+        """Coalesced gibbs generation (see :meth:`ddpm_ensemble_multi`):
+        same-bucket requests share one batch plan + warm executables.
+        Returns one (counts[i], L_i) interior-token array per request."""
+        seq_rows, lws, Lpad = self._multi_rows(sequences, counts)
+        N = seq_rows.shape[0]
+        init_rows = np.full((N, Lpad), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+        dmask_rows = np.zeros((N, Lpad), dtype=bool)
+        r = 0
+        for lw, c in zip(lws, counts):
+            init_rows[r:r + c, :lw] = C.STRUCTURE_MASK_TOKEN
+            dmask_rows[r:r + c, 1:lw - 1] = True
+            r += c
+
+        sizes = plan_batches(max(lws), N, budget, max_batch,
+                             granularity=self._n_shards())
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        start = 0
+        for B in sizes:
+            cache_key = (B, Lpad, config.num_steps, config.temperature,
+                         config.top_p)
+            if cache_key not in self._gibbs_jit_cache:
+                # pack is a pure function of (B, Lpad), both in cache_key
+                forward = self._trunk_forward(self._pack(B, Lpad))
+
+                # NB: params must be a jit ARGUMENT — closing over them bakes
+                # GBs of weights into the HLO as constants (see PERF.md).
+                def fn(params, key, init, dmask, seq_tokens, lengths,
+                       _fwd=forward, _steps=config.num_steps,
+                       _t=config.temperature, _p=config.top_p):
+                    return iterative_unmask_sample(
+                        lambda toks: _fwd(params, toks, seq_tokens,
+                                          lengths),
+                        key, init, dmask, num_steps=_steps,
+                        temperature=_t, top_p=_p,
+                    )
+                self._gibbs_jit_cache[cache_key] = jax.jit(fn)
+            fn = self._gibbs_jit_cache[cache_key]
+            key, k = jax.random.split(key)
+            idx = np.minimum(np.arange(start, start + B), N - 1)
+            batch = self._device_batch({
+                "seq": seq_rows[idx], "init": init_rows[idx],
+                "dmask": dmask_rows[idx]})
+            seq_b = batch["seq"]
+            lengths = jnp.sum(seq_b != C.SEQUENCE_PAD_TOKEN, axis=-1,
+                              dtype=jnp.int32)
+            toks = fn(self._gibbs_params(), k, batch["init"], batch["dmask"],
+                      seq_b, lengths)
+            outs.append(np.asarray(toks))
+            start += B
+        return self._split_rows(np.concatenate(outs, axis=0), lws, counts)
 
     # -- entropy-bounded adaptive unmasking ------------------------------------
     def eb_ensemble(
@@ -453,6 +605,32 @@ class EnsembleSampler:
                         decode_batch: int = 32) -> list[ESMProtein]:
         return decode_tokens_to_proteins(self.runtime, sequence, tokens,
                                          decode_batch)
+
+    def decode_ensemble_multi(self, sequences: Sequence[str],
+                              tokens_list: Sequence[np.ndarray],
+                              decode_batch: int = 32,
+                              ) -> list[list[ESMProtein]]:
+        """Coalesced VQ decode: rows from several requests share device
+        batches (grouped by exact token length — decode programs are
+        shape-keyed), so small concurrent requests stop paying per-request
+        decode dispatches."""
+        from esmdiff_tpu.core.tokenizer import StructureTokenizer
+
+        results: list[list] = [[None] * t.shape[0] for t in tokens_list]
+        by_len: dict[int, list] = {}
+        for i, (seq, toks) in enumerate(zip(sequences, tokens_list)):
+            for j in range(toks.shape[0]):
+                row = StructureTokenizer.add_bos_eos(toks[j].astype(np.int32))
+                by_len.setdefault(len(row), []).append((i, j, row, seq))
+        for rows in by_len.values():
+            for s in range(0, len(rows), decode_batch):
+                chunk = rows[s:s + decode_batch]
+                prots = self.runtime.decode_batch(
+                    np.stack([r[2] for r in chunk]),
+                    [r[3] for r in chunk])
+                for (i, j, _, _), p in zip(chunk, prots):
+                    results[i][j] = p
+        return results
 
 
 def decode_tokens_to_proteins(runtime: ESM3Runtime, sequence: str,

@@ -28,6 +28,13 @@ decode): one sampler, many HTTP threads — a TPU program saturates the chip,
 so same-phase concurrency would only fragment HBM, but request B's sampling
 can enqueue behind request A's decode (scripts/serve_load.py measures the
 multi-client throughput).
+
+Concurrent requests that share a compatibility key (mode, length bucket,
+num_steps, temperature, top_p; no inpainting prior) additionally COALESCE
+into one merged batch plan while they queue behind in-flight device work —
+continuous-batching style, reusing the same warm per-bucket executables
+(the sampling programs take sequence tokens per row).  ``--coalesce off``
+restores strict per-request seed determinism.
 """
 
 from __future__ import annotations
@@ -68,10 +75,25 @@ def _valid_residues() -> frozenset:
         if len(t) == 1 and t.isalpha()) | {"_"}
 
 
+class _Pending:
+    """One coalescable request waiting for its group's device run."""
+
+    __slots__ = ("seq", "n", "fmt", "seed", "event", "tokens", "prots",
+                 "sampling_sec", "group_size", "error")
+
+    def __init__(self, seq: str, n: int, fmt: str, seed: int):
+        self.seq, self.n, self.fmt, self.seed = seq, n, fmt, seed
+        self.event = threading.Event()
+        self.tokens = self.prots = self.error = None
+        self.sampling_sec = 0.0
+        self.group_size = 1
+
+
 class SamplerService:
     """Owns the runtime + sampler; serializes device access."""
 
-    def __init__(self, sampler: EnsembleSampler, max_samples: int = 512):
+    def __init__(self, sampler: EnsembleSampler, max_samples: int = 512,
+                 coalesce: bool = True):
         self.sampler = sampler
         self.max_samples = max_samples
         # Two-phase device locking (VERDICT round 2 item 8): trunk sampling
@@ -87,6 +109,21 @@ class SamplerService:
         # per-mode latency aggregates; /healthz reads a snapshot without the
         # lock (atomic dict copy under the GIL)
         self._stats: dict = {}
+        # Same-bucket request coalescing (the last serve headroom measured in
+        # PERF.md round 3): requests that arrive while the device is busy and
+        # share a compatibility key (mode, length bucket, steps, temperature,
+        # top_p) merge into ONE batch plan — the natural batching window is
+        # the in-flight device work, vLLM-style, with no added latency timer.
+        # The merged run reuses the same warm per-bucket executables (the
+        # programs take sequence tokens per row).  Determinism caveat: a
+        # coalesced request's draws depend on co-batched traffic (the group
+        # leader's seed + row placement); --coalesce off restores strict
+        # per-request seed reproducibility.
+        self._coalesce = coalesce
+        self._pending: dict = {}
+        self._pending_lock = threading.Lock()
+        self._coalesce_stats = {"groups": 0, "coalesced_requests": 0,
+                                "max_group": 0}
 
     # -- introspection ---------------------------------------------------------
     def health(self) -> dict:
@@ -109,10 +146,50 @@ class SamplerService:
                 k: {**v, "mean_sec": round(v["mean_sec"], 3)}
                 for k, v in list(self._stats.items())
             },
+            "coalesce": {"enabled": self._coalesce,
+                         **dict(self._coalesce_stats)},
         }
 
     # -- sampling --------------------------------------------------------------
     def sample(self, req: dict) -> dict:
+        p = self._parse(req)
+        t0 = time.time()
+        if (self._coalesce and p["mask_ids"] is None
+                and p["prior_prot"] is None and p["mode"] in ("gibbs",
+                                                              "ddpm")):
+            tokens, prots, t_tokens, gsize = self._run_coalesced(p)
+        else:
+            tokens, prots, t_tokens = self._run_single(p)
+            gsize = 1
+        wall = time.time() - t0
+        with self._stats_lock:
+            self._n_requests += 1
+            st = self._stats.setdefault(
+                p["mode"], {"count": 0, "last_sec": 0.0, "mean_sec": 0.0})
+            st["count"] += 1
+            st["last_sec"] = round(wall, 3)
+            # keep the accumulator unrounded; health() rounds for display
+            st["mean_sec"] = st["mean_sec"] + (wall - st["mean_sec"]) \
+                / st["count"]
+
+        out: dict = {
+            "mode": p["mode"], "num_samples": p["n"],
+            "num_steps": p["steps"],
+            "sampling_sec": round(t_tokens, 3),
+        }
+        if gsize > 1:
+            out["coalesced"] = gsize  # batched with gsize-1 other requests
+        if p["fmt"] == "tokens":
+            out["tokens"] = np.asarray(tokens).tolist()
+        else:
+            # pure-CPU PDB text formatting in the request's own thread,
+            # without any device lock
+            out["pdb"] = protein_io.ensemble_to_pdb(
+                [pr.to_protein() for pr in prots])
+            out["total_sec"] = round(time.time() - t0, 3)
+        return out
+
+    def _parse(self, req: dict) -> dict:
         seq = req.get("sequence")
         prior_prot = None
         if req.get("pdb"):
@@ -164,17 +241,27 @@ class SamplerService:
             raise RequestError(
                 f"'sequence' length {len(seq)} != 'pdb' prior length "
                 f"{len(prior_prot.sequence)}")
+        return {
+            "seq": seq, "mode": mode, "n": n, "steps": steps, "seed": seed,
+            "temperature": temperature, "top_p": top_p,
+            "mask_ids": mask_ids, "fmt": fmt, "prior_prot": prior_prot,
+            "ref_compat": bool(req.get("ref_compat", False)),
+            "entropy_budget": float(req.get("entropy_budget", 1.0)),
+        }
 
-        t0 = time.time()
+    def _run_single(self, p: dict):
+        """Un-coalesced path (inpainting priors, eb mode, --coalesce off)."""
+        seq, mode, n, steps = p["seq"], p["mode"], p["n"], p["steps"]
+        mask_ids, prior_prot = p["mask_ids"], p["prior_prot"]
         with self._sample_lock:
             t_dev = time.time()  # sampling_sec = device phase, not queueing
             if mode == "gibbs":
                 tokens = self.sampler.gibbs_ensemble(
                     seq, n,
                     config=GenerationConfig(num_steps=steps,
-                                            temperature=temperature,
-                                            top_p=top_p),
-                    seed=seed,
+                                            temperature=p["temperature"],
+                                            top_p=p["top_p"]),
+                    seed=p["seed"],
                     coordinates=(prior_prot.coordinates
                                  if mask_ids is not None else None),
                     mask_ids=mask_ids,
@@ -185,48 +272,101 @@ class SamplerService:
                     pt = self.sampler.runtime.encode(prior_prot)
                     structure_tokens = pt.structure
                 tokens = self.sampler.ddpm_ensemble(
-                    seq, n, num_steps=steps, seed=seed,
+                    seq, n, num_steps=steps, seed=p["seed"],
                     mask_ids=mask_ids, structure_tokens=structure_tokens,
-                    ref_compat=bool(req.get("ref_compat", False)),
+                    ref_compat=p["ref_compat"],
                 )
             else:  # eb
                 tokens = self.sampler.eb_ensemble(
                     seq, n,
-                    entropy_budget=float(req.get("entropy_budget", 1.0)),
-                    temperature=temperature, top_p=top_p,
-                    max_steps=steps * 8, seed=seed,
+                    entropy_budget=p["entropy_budget"],
+                    temperature=p["temperature"], top_p=p["top_p"],
+                    max_steps=steps * 8, seed=p["seed"],
                 )
         t_tokens = time.time() - t_dev
         prots = None
-        if fmt == "pdb":
+        if p["fmt"] == "pdb":
             # phase 2: VQ decode under its own lock — request B's trunk
             # sampling may already be enqueuing on the device
             with self._decode_lock:
                 prots = self.sampler.decode_ensemble(seq, tokens)
-        # device work done: record stats and do the pure-CPU PDB text
-        # formatting without any device lock
-        wall = time.time() - t0
-        with self._stats_lock:
-            self._n_requests += 1
-            st = self._stats.setdefault(
-                mode, {"count": 0, "last_sec": 0.0, "mean_sec": 0.0})
-            st["count"] += 1
-            st["last_sec"] = round(wall, 3)
-            # keep the accumulator unrounded; health() rounds for display
-            st["mean_sec"] = st["mean_sec"] + (wall - st["mean_sec"]) \
-                / st["count"]
+        return tokens, prots, t_tokens
 
-        out: dict = {
-            "mode": mode, "num_samples": n, "num_steps": steps,
-            "sampling_sec": round(t_tokens, 3),
-        }
-        if fmt == "tokens":
-            out["tokens"] = np.asarray(tokens).tolist()
-        else:
-            out["pdb"] = protein_io.ensemble_to_pdb(
-                [p.to_protein() for p in prots])
-            out["total_sec"] = round(time.time() - t0, 3)
-        return out
+    def _run_coalesced(self, p: dict):
+        """Enqueue into the same-bucket group; the group's first arrival
+        leads: it acquires the sample lock (requests pile up behind the
+        in-flight device work), drains everything compatible that queued
+        meanwhile, and runs ONE merged batch plan for the group."""
+        from esmdiff_tpu.api.generation import bucket_length
+
+        item = _Pending(p["seq"], p["n"], p["fmt"], p["seed"])
+        # +2: BOS/EOS ride along in the tokenized length
+        gkey = (p["mode"], bucket_length(len(p["seq"]) + 2), p["steps"],
+                p["temperature"], p["top_p"])
+        with self._pending_lock:
+            q = self._pending.setdefault(gkey, [])
+            q.append(item)
+            leader = len(q) == 1
+        if leader:
+            self._lead_group(gkey, p)
+        # non-leaders park here; the bound only guards against a leader
+        # thread dying un-Pythonically (the finally below always signals)
+        if not item.event.wait(timeout=3600):
+            raise RuntimeError("coalesced sampling timed out")
+        if item.error is not None:
+            raise item.error
+        return item.tokens, item.prots, item.sampling_sec, item.group_size
+
+    def _lead_group(self, gkey, p: dict) -> None:
+        group = []
+        try:
+            with self._sample_lock:
+                with self._pending_lock:
+                    group = self._pending.pop(gkey, [])
+                if not group:
+                    return  # drained by an earlier leader of this key
+                t_dev = time.time()
+                seqs = [it.seq for it in group]
+                counts = [it.n for it in group]
+                if p["mode"] == "gibbs":
+                    toks_list = self.sampler.gibbs_ensemble_multi(
+                        seqs, counts,
+                        config=GenerationConfig(
+                            num_steps=p["steps"],
+                            temperature=p["temperature"],
+                            top_p=p["top_p"]),
+                        seed=group[0].seed)
+                else:
+                    toks_list = self.sampler.ddpm_ensemble_multi(
+                        seqs, counts, num_steps=p["steps"],
+                        seed=group[0].seed)
+                t_tokens = time.time() - t_dev
+            # phase 2 outside the sample lock: the next group's trunk
+            # sampling can already enqueue on the device
+            need = [i for i, it in enumerate(group) if it.fmt == "pdb"]
+            prots_by: dict = {}
+            if need:
+                with self._decode_lock:
+                    dec = self.sampler.decode_ensemble_multi(
+                        [group[i].seq for i in need],
+                        [toks_list[i] for i in need])
+                prots_by = dict(zip(need, dec))
+            for i, it in enumerate(group):
+                it.tokens = toks_list[i]
+                it.prots = prots_by.get(i)
+                it.sampling_sec = t_tokens
+                it.group_size = len(group)
+            with self._stats_lock:
+                cs = self._coalesce_stats
+                cs["groups"] += 1
+                cs["coalesced_requests"] += len(group) - 1
+                cs["max_group"] = max(cs["max_group"], len(group))
+        except Exception as e:  # noqa: BLE001 — deliver to every waiter
+            for it in group:
+                it.error = e
+        finally:
+            for it in group:
+                it.event.set()
 
     def warmup(self, req: dict) -> dict:
         lengths = req.get("lengths") or [64]
@@ -317,6 +457,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_samples", type=int, default=512,
                    help="Per-request num_samples cap.")
+    p.add_argument("--coalesce", choices=("on", "off"), default="on",
+                   help="Merge concurrent same-bucket requests into one "
+                        "device batch (off = strict per-request seed "
+                        "determinism).")
     p.add_argument("--warmup_lengths", type=str, default=None,
                    help="Comma-separated sequence lengths to precompile "
                         "before accepting traffic (e.g. 64,128,256).")
@@ -340,7 +484,8 @@ def main(argv=None):
         mesh = pmesh.make_mesh()
         print(f"[mesh] sampling across {mesh.devices.size} device(s)")
     service = SamplerService(EnsembleSampler(runtime, mesh=mesh),
-                             max_samples=args.max_samples)
+                             max_samples=args.max_samples,
+                             coalesce=args.coalesce == "on")
     if args.warmup_lengths:
         lengths = [int(x) for x in args.warmup_lengths.split(",")]
         wreq = {"lengths": lengths, "mode": args.mode,

@@ -174,3 +174,51 @@ def test_gibbs_inpainting_keeps_known_tokens(gibbs_runtime):
     np.testing.assert_array_equal(tokens[0][keep], interior[keep])
     np.testing.assert_array_equal(tokens[1][keep], interior[keep])
     assert (tokens[0][mask_ids] < 4096).all()
+
+
+# -- coalesced multi-request engines (serve same-bucket coalescing) -----------
+
+SEQ_A = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"  # 33 res -> 64-bucket
+SEQ_B = "ACDEFGHIKLMNPQRSTVWYACDEFGHIKLMNPQRSTVWY"  # 40 res -> same 64-bucket
+
+
+def test_gibbs_multi_coalesced(gibbs_runtime):
+    s = EnsembleSampler(gibbs_runtime)
+    cfg = GenerationConfig(num_steps=2)
+    outs = s.gibbs_ensemble_multi([SEQ_A, SEQ_B], [3, 2], config=cfg, seed=0)
+    assert [o.shape for o in outs] == [(3, 33), (2, 40)]
+    assert all((o >= 0).all() and (o < 4096).all() for o in outs)
+    n_cache = len(s._gibbs_jit_cache)
+    outs2 = s.gibbs_ensemble_multi([SEQ_A, SEQ_B], [3, 2], config=cfg, seed=0)
+    assert len(s._gibbs_jit_cache) == n_cache  # warm executables reused
+    assert all(np.array_equal(a, b) for a, b in zip(outs, outs2))
+    # the coalesced group reuses the SINGLE-request executables (the
+    # programs take sequence tokens per row): 3+2 and 5 share one plan
+    one = s.gibbs_ensemble(SEQ_A, 5, config=cfg, seed=5)
+    assert len(s._gibbs_jit_cache) == n_cache
+    # single == single-item multi (one shared code path, bitwise)
+    also = s.gibbs_ensemble_multi([SEQ_A], [5], config=cfg, seed=5)[0]
+    np.testing.assert_array_equal(one, also)
+    # cross-request batched VQ decode
+    prots = s.decode_ensemble_multi([SEQ_A, SEQ_B], outs)
+    assert [len(p) for p in prots] == [3, 2]
+    assert prots[0][0].coordinates.shape == (33, 37, 3)
+    assert prots[1][1].coordinates.shape == (40, 37, 3)
+    assert prots[1][1].sequence == SEQ_B
+
+
+def test_ddpm_multi_coalesced(tiny_runtime):
+    s = EnsembleSampler(tiny_runtime)
+    outs = s.ddpm_ensemble_multi([SEQ_A, SEQ_B], [2, 2], num_steps=2, seed=1)
+    assert [o.shape for o in outs] == [(2, 33), (2, 40)]
+    one = s.ddpm_ensemble(SEQ_A, 2, num_steps=2, seed=3)
+    also = s.ddpm_ensemble_multi([SEQ_A], [2], num_steps=2, seed=3)[0]
+    np.testing.assert_array_equal(one, also)
+
+
+def test_multi_rejects_mixed_buckets(gibbs_runtime):
+    s = EnsembleSampler(gibbs_runtime)
+    long_seq = SEQ_A * 3  # 99 res -> 128-bucket
+    with pytest.raises(ValueError, match="length bucket"):
+        s.gibbs_ensemble_multi([SEQ_A, long_seq], [1, 1],
+                               config=GenerationConfig(num_steps=2))

@@ -168,3 +168,67 @@ def test_request_errors(server):
     assert status == 400 and "length" in body["error"]
     status, body = _post(base + "/nope", {})
     assert status == 404
+
+
+def test_coalescing_merges_concurrent_requests(server):
+    """Requests that queue behind in-flight device work merge into ONE
+    batch plan (same warm executables) and each response reports the
+    group size."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, service = server
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"
+
+    ex = ThreadPoolExecutor(max_workers=3)
+    service._sample_lock.acquire()  # pile arrivals into one pending group
+    try:
+        futs = [ex.submit(_post, base + "/sample", {
+            "sequence": seq, "num_samples": 2, "mode": "gibbs",
+            "num_steps": 2, "seed": s, "format": "tokens"})
+            for s in range(3)]
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            with service._pending_lock:
+                n = sum(len(v) for v in service._pending.values())
+            if n == 3:
+                break
+            time.sleep(0.02)
+        assert n == 3, f"only {n} requests enqueued"
+    finally:
+        service._sample_lock.release()
+    res = [f.result(timeout=600) for f in futs]
+    ex.shutdown()
+    for status, body in res:
+        assert status == 200, body
+        assert body.get("coalesced") == 3
+        assert len(body["tokens"]) == 2
+    # coalesced rows still draw independently per request
+    draws = {tuple(np.asarray(b["tokens"]).ravel()) for _, b in res}
+    assert len(draws) == 3
+    _, health = _get(base + "/healthz")
+    assert health["coalesce"]["enabled"]
+    assert health["coalesce"]["max_group"] >= 3
+    assert health["coalesce"]["coalesced_requests"] >= 2
+
+
+def test_coalesce_off_is_strictly_per_request(server):
+    """--coalesce off path: same request routed through _run_single."""
+    base, service = server
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"
+    was = service._coalesce
+    service._coalesce = False
+    try:
+        status, body = _post(base + "/sample", {
+            "sequence": seq, "num_samples": 2, "mode": "gibbs",
+            "num_steps": 2, "seed": 11, "format": "tokens"})
+    finally:
+        service._coalesce = was
+    assert status == 200 and "coalesced" not in body
+    # a single-request coalesced run is bitwise the same draw
+    status, body2 = _post(base + "/sample", {
+        "sequence": seq, "num_samples": 2, "mode": "gibbs",
+        "num_steps": 2, "seed": 11, "format": "tokens"})
+    assert status == 200
+    assert body2["tokens"] == body["tokens"]
