@@ -85,9 +85,17 @@ class StructureTokenEncoder(nn.Module):
     cfg: EncoderConfig = EncoderConfig()
 
     @nn.compact
-    def __call__(self, coords, residue_index=None, valid_mask=None):
+    def __call__(self, coords, residue_index=None, valid_mask=None,
+                 return_zq: bool = False):
         """coords: (B, L, 3, 3) N/CA/C (NaN where unknown) -> (tokens (B, L)
-        int32, z (B, L, d_out), valid (B, L) bool)."""
+        int32, z (B, L, d_out), valid (B, L) bool).
+
+        return_zq=True additionally returns the quantized codebook vectors
+        z_q = codebook[tokens] (f32, (B, L, d_out)) for VQ-VAE training
+        (straight-through estimator + commitment/codebook losses in
+        train/vqvae.py); invalid positions carry codebook[0] there and must
+        be masked by the caller via ``valid``.
+        """
         cfg = self.cfg
         B, L, _, _ = coords.shape
         K = min(cfg.knn, L)
@@ -143,8 +151,11 @@ class StructureTokenEncoder(nn.Module):
             "codebook", nn.initializers.normal(1.0),
             (cfg.n_codes, cfg.d_out), jnp.float32,
         )
-        tokens = nearest_code(z.astype(jnp.float32), codebook)
-        tokens = jnp.where(valid_mask, tokens, C.STRUCTURE_MASK_TOKEN)
+        raw = nearest_code(z.astype(jnp.float32), codebook)
+        tokens = jnp.where(valid_mask, raw, C.STRUCTURE_MASK_TOKEN)
+        if return_zq:
+            z_q = jnp.take(codebook, raw, axis=0)  # (B, L, d_out) f32
+            return tokens.astype(jnp.int32), z, valid_mask, z_q
         return tokens.astype(jnp.int32), z, valid_mask
 
 
@@ -225,19 +236,30 @@ class StructureTokenDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, structure_tokens, compute_ptm: bool = True,
-                 pack: int = 1):
+                 pack: int = 1, inputs_embeds=None):
         """(B, L) int tokens -> dict(bb_pred (B, L, 3, 3), plddt (B, L),
         ptm (B,)).
 
         compute_ptm=False skips the pairwise O(B*L^2*bins) aligned-error
         head at call time (params still exist) — coordinate-only decoding of
         long-chain ensembles would otherwise OOM on it.
+
+        inputs_embeds: optional (B, L, d_model) continuous inputs replacing
+        the token embedding lookup — the VQ-VAE trainer (train/vqvae.py)
+        feeds straight-through codebook vectors here so gradients reach the
+        encoder.  In that mode the ``embed`` table is never created; the
+        trainer materializes it (codebook @ bridge kernel + special rows) at
+        export so the saved checkpoint is this standard layout.
         """
         cfg = self.cfg
-        x = nn.Embed(
-            C.STRUCTURE_VOCAB_SIZE, cfg.d_model, dtype=jnp.dtype(cfg.dtype),
-            param_dtype=jnp.float32, name="embed",
-        )(structure_tokens)
+        if inputs_embeds is not None:
+            x = inputs_embeds.astype(jnp.dtype(cfg.dtype))
+        else:
+            x = nn.Embed(
+                C.STRUCTURE_VOCAB_SIZE, cfg.d_model,
+                dtype=jnp.dtype(cfg.dtype),
+                param_dtype=jnp.float32, name="embed",
+            )(structure_tokens)
         if pack > 1:
             # Sequence-packed stack execution (ops/packing.py): k rows share
             # one device row under a block-diagonal segment mask with
