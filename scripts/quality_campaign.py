@@ -18,7 +18,8 @@ clash/CA-bond validity, and the PED MAE suite vs the shipped structures.
 Stages (run in order; each resumes from the previous stage's artifacts):
 
   python scripts/quality_campaign.py prepare        # corpus -> tokens
-  python scripts/quality_campaign.py train_decoder  # tokens -> backbone
+  python scripts/quality_campaign.py train_vqvae    # JOINT enc+codebook+dec
+  # (legacy: train_decoder = decoder-only against the frozen random encoder)
   python scripts/quality_campaign.py dump           # MDLM training npzs
   python scripts/quality_campaign.py train_mdlm     # production esmdiff-train
   python scripts/quality_campaign.py sample         # production esmdiff-sample
@@ -346,6 +347,100 @@ def stage_train_decoder(args):
 
 
 # ---------------------------------------------------------------------------
+# stage: train_vqvae — JOINT encoder+codebook+decoder training
+# ---------------------------------------------------------------------------
+
+def stage_train_vqvae(args):
+    """Replace the frozen-random tokenizer with a jointly trained VQ-VAE
+    (train/vqvae.py): straight-through codebook learning gives the decoder a
+    token space that is actually informative about geometry, instead of the
+    random-encoder floor (7.2 Å train recon in the round-3 decoder-only
+    run).  Exports to the same ``vqvae`` checkpoint dir and RE-TOKENIZES
+    corpus.npz with the trained encoder, so dump/train_mdlm/sample consume
+    it unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.models.vqvae import (StructureTokenDecoder,
+                                          StructureTokenEncoder)
+    from esmdiff_tpu.train.vqvae import (VQLossConfig, export_vqvae,
+                                         train_vqvae)
+
+    root = out_root(args)
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    bbs, lens = z["backbones"], z["lengths"]
+    N = len(lens)
+    n_val = max(4, N // 20)
+    rs = np.random.RandomState(SEED)
+    perm = rs.permutation(N)
+    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+
+    ecfg, dcfg = encoder_cfg(), decoder_cfg()
+    t0 = time.time()
+    res = train_vqvae(
+        ecfg, dcfg, bbs, lens, steps=args.steps, batch=args.batch,
+        lr=args.lr, loss_cfg=VQLossConfig(recon=args.dec_loss),
+        seed=SEED, val_idx=val_idx, log_every=500)
+    print(f"[vqvae] trained in {time.time() - t0:.0f}s, "
+          f"{res.n_live_codes}/{ecfg.n_codes} live codes")
+    export_vqvae(root / "vqvae", ecfg, dcfg, res.params)
+
+    # re-tokenize with the trained encoder (downstream stages read these)
+    enc = StructureTokenEncoder(ecfg)
+    fwd = jax.jit(lambda p, bb: enc.apply({"params": p}, bb))
+    toks = []
+    for i in range(0, N, 16):
+        t, _, _ = fwd(res.params["encoder"], jnp.asarray(bbs[i:i + 16]))
+        toks.append(np.asarray(t))
+    tokens = np.concatenate(toks)
+    data = {k: z[k] for k in z.files}
+    data["tokens"] = tokens
+    np.savez_compressed(root / "corpus.npz", **data)
+    n_distinct = len(np.unique(np.concatenate(
+        [tokens[i, :int(lens[i])] for i in range(N)])))
+    print(f"[vqvae] re-tokenized corpus: {n_distinct} distinct codes")
+
+    # decode-fidelity through the PRODUCTION path: exported standalone
+    # encoder->decoder, tokens with specials, Kabsch CA-RMSD
+    from esmdiff_tpu.core import constants as C
+    from esmdiff_tpu.eval.geo import rmsd as kabsch_rmsd
+
+    dec = StructureTokenDecoder(dcfg)
+    from esmdiff_tpu.convert.checkpoints import load_vqvae
+
+    _, _, _, dec_params = load_vqvae(root / "vqvae")
+
+    def with_specials(tok_row, L):
+        t = np.full((PAD_L + 2,), C.STRUCTURE_PAD_TOKEN, np.int32)
+        t[0] = C.STRUCTURE_BOS_TOKEN
+        t[1:L + 1] = tok_row[:L]
+        t[L + 1] = C.STRUCTURE_EOS_TOKEN
+        return t
+
+    @jax.jit
+    def _recon(p, toks):
+        out = dec.apply({"params": p}, toks, compute_ptm=False)
+        return out["bb_pred"][:, 1:-1].astype(jnp.float32)
+
+    rmsds = []
+    for i in list(tr_idx[:24]) + list(val_idx[:8]):
+        L = int(lens[i])
+        toks_sp = with_specials(tokens[i], L)[None]
+        pred = np.asarray(_recon(dec_params, jnp.asarray(toks_sp)))[0, :L, 1]
+        true = bbs[i, :L, 1]
+        msk = np.isfinite(true).all(-1)
+        if msk.sum() < 3:
+            continue
+        r = float(kabsch_rmsd(jnp.asarray(pred[msk]),
+                              jnp.asarray(true[msk])))
+        rmsds.append((r, "train" if i in tr_idx else "val"))
+    tr_r = [r for r, s in rmsds if s == "train"]
+    va_r = [r for r, s in rmsds if s == "val"]
+    print(f"[vqvae] recon CA-RMSD: train {np.mean(tr_r):.2f} A "
+          f"(n={len(tr_r)}), val {np.mean(va_r):.2f} A (n={len(va_r)})")
+
+
+# ---------------------------------------------------------------------------
 # stage: dump — MDLM training npzs (sequence_tokens + structure_tokens)
 # ---------------------------------------------------------------------------
 
@@ -530,9 +625,9 @@ def stage_analyze(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("stage", choices=["prepare", "train_decoder", "dump",
-                                     "train_mdlm", "sample", "analyze",
-                                     "all"])
+    p.add_argument("stage", choices=["prepare", "train_decoder",
+                                     "train_vqvae", "dump", "train_mdlm",
+                                     "sample", "analyze", "all"])
     p.add_argument("--out", type=str, default="output/campaign")
     p.add_argument("--steps", type=int, default=12000,
                    help="decoder train steps")
@@ -555,7 +650,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     stages = ([args.stage] if args.stage != "all" else
-              ["prepare", "train_decoder", "dump", "train_mdlm", "sample",
+              ["prepare", "train_vqvae", "dump", "train_mdlm", "sample",
                "analyze"])
     for s in stages:
         print(f"========== stage {s} ==========", flush=True)
