@@ -139,6 +139,31 @@ def main():
                         "output/quant_parity/report.json.  none = bf16.")
     args = p.parse_args()
 
+    # Fail fast when the TPU tunnel is down: the axon PJRT backend init
+    # blocks INDEFINITELY in C if the chip is unreachable, which would hang
+    # the driver's end-of-round bench run.  Probe device init on a watchdog
+    # thread and emit an interpretable JSON error line instead.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe():
+        import jax as _j
+
+        _j.devices()
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_done.wait(timeout=300):
+        print(json.dumps({
+            "metric": "conf/sec/chip (25-step sampling, BPTI)",
+            "value": 0.0, "unit": "conformations/sec", "vs_baseline": None,
+            "error": "device backend init timed out after 300s "
+                     "(TPU tunnel unreachable)"}))
+        import os
+
+        os._exit(2)
+
     from esmdiff_tpu.utils.compilation_cache import (
         CacheEventCounter, enable as _enable_cache)
     _enable_cache()

@@ -327,9 +327,14 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
         jax.random.PRNGKey(seed),
         coords_nan[:1], lens_j[:1])["params"]
 
-    # grad clip is load-bearing (see quality_campaign decoder notes)
+    # grad clip is load-bearing (see quality_campaign decoder notes);
+    # warmup avoids early degenerate-frame spikes, cosine decay settles the
+    # codebook (assignments stop churning as lr -> lr/30)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(200, max(1, steps // 20)),
+        decay_steps=steps, end_value=lr / 30)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(lr, weight_decay=0.01))
+                      optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)
 
     @jax.jit
