@@ -317,15 +317,21 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     model = VQVAE(enc_cfg, dec_cfg)
     rs = np.random.RandomState(seed)
     N, Lp = coords.shape[0], coords.shape[1]
-    coords_j = jnp.asarray(np.nan_to_num(coords, nan=0.0))
-    coords_nan = jnp.asarray(coords)
-    cmask_j = jnp.asarray(np.isfinite(coords).all(-1).all(-1)
-                          .astype(np.float32))
-    lens_j = jnp.asarray(lengths.astype(np.int32))
+    # corpus stays HOST-side; batches are gathered with numpy and shipped
+    # per step (~MBs) so corpus size is bounded by host RAM, not HBM
+    coords = np.asarray(coords, np.float32)
+    lengths = np.asarray(lengths, np.int32)
+
+    def gather(idx):
+        c = coords[idx]
+        return (jnp.asarray(c), jnp.asarray(np.nan_to_num(c, nan=0.0)),
+                jnp.asarray(np.isfinite(c).all(-1).all(-1)
+                            .astype(np.float32)),
+                jnp.asarray(lengths[idx]))
 
     params = jax.jit(model.init)(
         jax.random.PRNGKey(seed),
-        coords_nan[:1], lens_j[:1])["params"]
+        jnp.asarray(coords[:1]), jnp.asarray(lengths[:1]))["params"]
 
     # grad clip is load-bearing (see quality_campaign decoder notes);
     # warmup avoids early degenerate-frame spikes, cosine decay settles the
@@ -338,12 +344,10 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(p, s, idx):
+    def step(p, s, c_nan, c_clean, cmask, lens):
         def loss_fn(p):
-            out, aux = model.apply({"params": p}, coords_nan[idx],
-                                   lens_j[idx])
-            total, m = vqvae_loss(out, aux, coords_j[idx], cmask_j[idx],
-                                  lens_j[idx], loss_cfg)
+            out, aux = model.apply({"params": p}, c_nan, lens)
+            total, m = vqvae_loss(out, aux, c_clean, cmask, lens, loss_cfg)
             return total, (m, aux["z"], aux["valid"])
         (total, (m, z, valid)), g = jax.value_and_grad(
             loss_fn, has_aux=True)(p)
@@ -351,11 +355,13 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
         return optax.apply_updates(p, up), s, total, m, z, valid
 
     @jax.jit
-    def val_recon(p, idx):
-        out, aux = model.apply({"params": p}, coords_nan[idx], lens_j[idx])
-        _, m = vqvae_loss(out, aux, coords_j[idx], cmask_j[idx],
-                          lens_j[idx], loss_cfg)
+    def val_recon(p, c_nan, c_clean, cmask, lens):
+        out, aux = model.apply({"params": p}, c_nan, lens)
+        _, m = vqvae_loss(out, aux, c_clean, cmask, lens, loss_cfg)
         return m["recon"]
+
+    val_batch = (gather(np.asarray(val_idx[:16]))
+                 if val_idx is not None and len(val_idx) else None)
 
     usage_window = np.zeros((enc_cfg.n_codes,), np.int64)
     z_pool = None
@@ -363,9 +369,9 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     tr_idx = np.arange(N) if val_idx is None else \
         np.setdiff1d(np.arange(N), val_idx)
     for it in range(steps):
-        idx = jnp.asarray(rs.choice(tr_idx, batch))
+        c_nan, c_clean, cmask, lens = gather(rs.choice(tr_idx, batch))
         params, opt_state, total, m, z, valid = step(
-            params, opt_state, idx)
+            params, opt_state, c_nan, c_clean, cmask, lens)
         usage_window += np.asarray(m["usage"], np.int64)
         if it % 50 == 0:  # refresh the restart pool cheaply
             zh, vh = np.asarray(z), np.asarray(valid)
@@ -385,8 +391,8 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
                    f"{float(m['recon']):.4f} codebook "
                    f"{float(m['codebook']):.4f} commit "
                    f"{float(m['commit']):.4f}")
-            if val_idx is not None and len(val_idx):
-                msg += f" val_recon {float(val_recon(params, jnp.asarray(val_idx[:16]))):.4f}"
+            if val_batch is not None:
+                msg += f" val_recon {float(val_recon(params, *val_batch)):.4f}"
             log(msg, flush=True) if log is print else log(msg)
         losses.append(float(total))
     n_live = int((np.asarray(

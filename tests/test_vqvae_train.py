@@ -51,8 +51,9 @@ def _toy_corpus(n=16, lp=24, seed=0):
     coords = np.stack([chain(rs.rand() * 6) + rs.randn(lp, 3, 3) * 0.1
                        for _ in range(n)]).astype(np.float32)
     lengths = np.full((n,), lp, np.int32)
-    lengths[3] = 18
-    coords[3, 18:] = np.nan  # ragged chain exercises the mask plumbing
+    if n > 3:
+        lengths[3] = 18
+        coords[3, 18:] = np.nan  # ragged chain exercises the mask plumbing
     return coords, lengths
 
 
@@ -115,6 +116,32 @@ def test_export_roundtrips_standard_checkpoint(trained):
         toks, _, _ = StructureTokenEncoder(ENC_CFG).apply(
             {"params": res.params["encoder"]}, jnp.asarray(coords[:2]))
         np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_rt))
+
+
+def test_cli_trains_and_sampler_loads(tmp_path):
+    """esmdiff-train-vqvae over a corpus dir -> ckpt consumable by the
+    production sampling CLI via --vqvae_ckpt."""
+    from esmdiff_tpu.cli.sample import main as sample_main
+    from esmdiff_tpu.cli.train_vqvae import main as train_main
+    from esmdiff_tpu.core import protein as protein_io
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    coords, lengths = _toy_corpus(n=3, lp=20)
+    for i in range(3):
+        L = int(lengths[i])
+        prot = protein_io.from_backbone(coords[i, :L], "A" * L)
+        (corpus / f"c{i}.pdb").write_text(protein_io.to_pdb(prot))
+    ckpt = tmp_path / "vq"
+    train_main(["--input", str(corpus), "--output", str(ckpt),
+                "--scale", "tiny", "--steps", "4", "--batch", "2",
+                "--max_len", "64"])
+    assert (ckpt / "train_summary.json").exists()
+    out = tmp_path / "out"
+    sample_main(["--input", str(corpus), "--output", str(out),
+                 "--mode", "ddpm", "--num_steps", "2", "--num_samples", "1",
+                 "--model_scale", "tiny", "--vqvae_ckpt", str(ckpt)])
+    assert (out / "c0.pdb").exists()
 
 
 def test_restart_dead_codes():
