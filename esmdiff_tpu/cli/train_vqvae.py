@@ -110,6 +110,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--restart_every", type=int, default=500,
                    help="dead-code restart interval (0 = off)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over all visible devices "
+                        "(1-D data mesh; batch must divide device count)")
     args = p.parse_args(argv)
 
     from esmdiff_tpu.train.vqvae import (VQLossConfig, export_vqvae,
@@ -130,7 +133,8 @@ def main(argv=None):
         enc_cfg, dec_cfg, coords, lengths, steps=args.steps,
         batch=args.batch, lr=args.lr,
         loss_cfg=VQLossConfig(beta=args.beta, recon=args.recon),
-        seed=args.seed, restart_every=args.restart_every, val_idx=val_idx)
+        seed=args.seed, restart_every=args.restart_every, val_idx=val_idx,
+        data_parallel=args.data_parallel)
     out = Path(args.output)
     export_vqvae(out, enc_cfg, dec_cfg, res.params)
     summary = {

@@ -306,11 +306,17 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
                 loss_cfg: VQLossConfig = VQLossConfig(),
                 seed: int = 0, restart_every: int = 500,
                 val_idx: Optional[np.ndarray] = None,
+                data_parallel: bool = False,
                 log_every: int = 500, log=print) -> VQVAETrainResult:
     """Joint VQ-VAE training on a coordinate corpus.
 
     coords: (N, Lp, 3, 3) NaN-padded; lengths: (N,) int32.  Returns trained
     VQVAE params (export with :func:`export_vqvae`).
+
+    data_parallel=True shards the batch axis over ALL visible devices on a
+    1-D ``data`` mesh (params replicated; XLA inserts the gradient
+    all-reduce from the sharding annotations).  ``batch`` must divide by the
+    device count.
     """
     import optax
 
@@ -322,16 +328,33 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     coords = np.asarray(coords, np.float32)
     lengths = np.asarray(lengths, np.int32)
 
+    batch_sharding = None
+    if data_parallel:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = np.asarray(jax.devices())
+        if batch % len(devs):
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"{len(devs)} devices")
+        mesh = Mesh(devs, ("data",))
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        replicated = NamedSharding(mesh, PartitionSpec())
+
     def gather(idx):
         c = coords[idx]
-        return (jnp.asarray(c), jnp.asarray(np.nan_to_num(c, nan=0.0)),
+        arrs = (jnp.asarray(c), jnp.asarray(np.nan_to_num(c, nan=0.0)),
                 jnp.asarray(np.isfinite(c).all(-1).all(-1)
                             .astype(np.float32)),
                 jnp.asarray(lengths[idx]))
+        if batch_sharding is not None:
+            arrs = tuple(jax.device_put(a, batch_sharding) for a in arrs)
+        return arrs
 
     params = jax.jit(model.init)(
         jax.random.PRNGKey(seed),
         jnp.asarray(coords[:1]), jnp.asarray(lengths[:1]))["params"]
+    if data_parallel:
+        params = jax.device_put(params, replicated)
 
     # grad clip is load-bearing (see quality_campaign decoder notes);
     # warmup avoids early degenerate-frame spikes, cosine decay settles the
@@ -342,6 +365,8 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=0.01))
     opt_state = opt.init(params)
+    if data_parallel:
+        opt_state = jax.device_put(opt_state, replicated)
 
     @jax.jit
     def step(p, s, c_nan, c_clean, cmask, lens):

@@ -118,6 +118,19 @@ def test_export_roundtrips_standard_checkpoint(trained):
         np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_rt))
 
 
+def test_data_parallel_matches_single_device(trained):
+    """data_parallel=True (8-device virtual mesh, batch sharded on a
+    1-D data axis) follows the single-device loss trajectory — same
+    batches, gradients all-reduced by XLA from the sharding annotations."""
+    coords, lengths = _toy_corpus()
+    kw = dict(steps=6, batch=8, lr=1e-3, restart_every=0, log=None)
+    single = train_vqvae(ENC_CFG, DEC_CFG, coords, lengths, **kw)
+    dp = train_vqvae(ENC_CFG, DEC_CFG, coords, lengths,
+                     data_parallel=True, **kw)
+    np.testing.assert_allclose(np.asarray(dp.losses),
+                               np.asarray(single.losses), rtol=2e-4)
+
+
 def test_cli_trains_and_sampler_loads(tmp_path):
     """esmdiff-train-vqvae over a corpus dir -> ckpt consumable by the
     production sampling CLI via --vqvae_ckpt."""
