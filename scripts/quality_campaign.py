@@ -207,73 +207,14 @@ def stage_train_decoder(args):
                       optax.adamw(args.lr, weight_decay=0.01))
     opt_state = opt.init(dec_params)
 
-    def kabsch_aligned_mse(pred, true, mask):
-        """Per-sample Kabsch-align TRUE onto PRED (stop-grad transform, the
-        standard stable formulation) and take masked coordinate MSE over all
-        backbone atoms.  Rotation+translation invariant AND chirality-aware
-        (a mirror image cannot be proper-rotated onto the target).  Round-3
-        measurement: the pairwise-distance (dRMSD) loss alone left 7.2 A
-        train reconstruction CA-RMSD — distances converge without pinning
-        the 3-D embedding."""
-        ca_p, ca_t = pred[:, :, 1], true[:, :, 1]        # (B, L, 3)
-        w = mask[:, :, None]
-        n = jnp.sum(mask, axis=1)[:, None] + 1e-6
-        mu_p = jnp.sum(ca_p * w, axis=1) / n             # (B, 3)
-        mu_t = jnp.sum(ca_t * w, axis=1) / n
-        Pc = (ca_p - mu_p[:, None]) * w
-        Tc = (ca_t - mu_t[:, None]) * w
-        H = jnp.einsum("bld,ble->bde", Tc, Pc)           # (B, 3, 3)
-        U, _, Vt = jnp.linalg.svd(H)
-        det = jnp.linalg.det(jnp.einsum("bde,bef->bdf", U, Vt))
-        D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
-        R = jnp.einsum("bde,be,bef->bdf", U, D, Vt)      # true -> pred
-        R = jax.lax.stop_gradient(R)
-        mu_p = jax.lax.stop_gradient(mu_p)
-        mu_t = jax.lax.stop_gradient(mu_t)
-        true_al = jnp.einsum("blad,bde->blae",
-                             true - mu_t[:, None, None], R) \
-            + mu_p[:, None, None]
-        # Huber on the per-atom distance: quadratic below delta, linear
-        # above — bounds the gradient contribution of far-displaced atoms
-        delta = 4.0
-        dist = jnp.sqrt(
-            jnp.sum((pred - true_al) ** 2, axis=-1) + 1e-8)  # (B, L, 3at)
-        hub = jnp.where(dist <= delta, 0.5 * dist ** 2,
-                        delta * (dist - 0.5 * delta))
-        return jnp.sum(hub * mask[:, :, None]) / (jnp.sum(mask) * 3 + 1e-8)
+    # rotation/translation-invariant reconstruction losses, shared with the
+    # joint trainer.  kabsch (aligned coordinate Huber) measured UNSTABLE
+    # for decoder-only training here (diverged unclipped at step 2k,
+    # oscillated 13-70 with clip 1.0); drmsd (CA pairwise distances + local
+    # bonds + chirality) is the stable default.
+    from esmdiff_tpu.train.vqvae import drmsd_loss, kabsch_huber_loss
 
-    def drmsd_loss(pred, true, mask):
-        """Rotation/translation-invariant: CA pairwise-distance MSE +
-        local bond terms + chirality (signed volume) — mirror images have
-        identical distance matrices, the det term breaks the tie."""
-        ca_p, ca_t = pred[:, :, 1], true[:, :, 1]      # (B, L, 3)
-        dp = jnp.linalg.norm(
-            ca_p[:, :, None] - ca_p[:, None] + 1e-8, axis=-1)
-        dt = jnp.linalg.norm(
-            ca_t[:, :, None] - ca_t[:, None] + 1e-8, axis=-1)
-        m2 = mask[:, :, None] * mask[:, None]
-        l_pwd = jnp.sum(((dp - dt) * m2) ** 2) / (jnp.sum(m2) + 1e-8)
-        # intra-residue N-CA / CA-C vectors' lengths + N..C distance
-        def local(x):
-            n, ca, c = x[:, :, 0], x[:, :, 1], x[:, :, 2]
-            return jnp.stack([
-                jnp.linalg.norm(ca - n + 1e-8, axis=-1),
-                jnp.linalg.norm(c - ca + 1e-8, axis=-1),
-                jnp.linalg.norm(c - n + 1e-8, axis=-1)], -1)
-        l_loc = jnp.sum(((local(pred) - local(true)) *
-                         mask[..., None]) ** 2) / (jnp.sum(mask) * 3 + 1e-8)
-        def chir(x):
-            n, ca, c = x[:, :, 0], x[:, :, 1], x[:, :, 2]
-            u = ca - n
-            v = c - ca
-            w = ca[:, 1:] - ca[:, :-1]
-            return jnp.einsum("bld,bld->bl", jnp.cross(u, v)[:, :-1], w)
-        mc = mask[:, 1:] * mask[:, :-1]
-        l_chi = jnp.sum(((chir(pred) - chir(true)) * mc) ** 2) \
-            / (jnp.sum(mc) + 1e-8)
-        return l_pwd + l_loc + 0.1 * l_chi
-
-    loss_impl = (kabsch_aligned_mse if args.dec_loss == "kabsch"
+    loss_impl = (kabsch_huber_loss if args.dec_loss == "kabsch"
                  else drmsd_loss)
 
     @jax.jit
