@@ -27,6 +27,12 @@ serve:
 quality:
 	JAX_PLATFORM_NAME=cpu python scripts/quality_loop.py
 
+# joint VQ-VAE tokenizer training, tiny smoke (production: --scale mid/full)
+train-vqvae-smoke:
+	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.train_vqvae \
+	  --input /root/reference/data/targets/bpti --output /tmp/esmdiff_vq \
+	  --scale tiny --steps 40 --batch 2 --max_len 80
+
 # 5-minute end-to-end smoke: dump a tiny corpus, train 2 epochs, sample, analyze
 smoke:
 	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.dump \
