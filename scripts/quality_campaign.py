@@ -482,6 +482,65 @@ def stage_sample(args):
 
 
 # ---------------------------------------------------------------------------
+# stage: steps_quality — denoising-steps vs ensemble-quality tradeoff
+# ---------------------------------------------------------------------------
+
+def stage_steps_quality(args):
+    """Sweep sampler mode x forward budget on the trained checkpoint and
+    report TM-ens / TM-div / validity vs steps.  Round-2's EB evidence used
+    an overfit tiny model (PERF.md caveat: flat entropy signal); this stage
+    re-runs the comparison on the campaign-TRAINED MDLM + tokenizer through
+    the production CLI."""
+    import shutil
+    import time as _time
+
+    from esmdiff_tpu.cli.sample import main as sample_main
+    from esmdiff_tpu.core.protein import load_ca_ensemble
+    from esmdiff_tpu.eval import metrics
+    from esmdiff_tpu.eval.tmscore import tm_diversity, tm_ensemble
+
+    root = out_root(args)
+    name, fam = pick_eval_targets(root, 1)[0]          # bpti
+    in_dir = root / "steps_quality" / "target"
+    in_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(TARGETS_ROOT / fam / f"{name}.pdb", in_dir / f"{name}.pdb")
+    target_ca = load_ca_ensemble(TARGETS_ROOT / fam / f"{name}.pdb")[0]
+
+    grid = [("ddpm", s) for s in (2, 5, 10, 25)] + \
+           [("gibbs", s) for s in (2, 4, 8, 16)] + \
+           [("eb", s) for s in (4, 8, 16)]
+    rows = []
+    for mode, steps in grid:
+        out_dir = root / "steps_quality" / f"{mode}_{steps}"
+        argv = ["--input", str(in_dir), "--output", str(out_dir),
+                "--mode", mode, "--num_steps", str(steps),
+                "--num_samples", str(args.num_samples),
+                "--ckpt", str(root / "mdlm_run" / "ckpt"),
+                "--vqvae_ckpt", str(root / "vqvae")]
+        t0 = _time.time()
+        try:
+            sample_main(argv)
+            pred_ca = load_ca_ensemble(out_dir / f"{name}.pdb")
+            Lc = min(pred_ca.shape[1], len(target_ca))
+            pred_ca, tgt = pred_ca[:, :Lc], target_ca[:Lc]
+            tm_best, rmsd_best = tm_ensemble(pred_ca, tgt)
+            row = {"mode": mode, "steps": steps,
+                   "tm_ens": round(tm_best, 4),
+                   "rmsd_best": round(rmsd_best, 3),
+                   "tm_div": round(float(tm_diversity(pred_ca)), 4),
+                   "clash_validity": float(
+                       metrics.validity({"p": pred_ca})["p"]),
+                   "wall_s": round(_time.time() - t0, 1)}
+        except Exception as e:
+            row = {"mode": mode, "steps": steps, "error": str(e)}
+        rows.append(row)
+        print(row, flush=True)
+    (root / "steps_quality" / "report.json").write_text(
+        json.dumps(rows, indent=2, default=float))
+    print(f"[steps_quality] -> {root / 'steps_quality' / 'report.json'}")
+
+
+# ---------------------------------------------------------------------------
 # stage: analyze — metric tables over the generated ensembles
 # ---------------------------------------------------------------------------
 
@@ -568,7 +627,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("stage", choices=["prepare", "train_decoder",
                                      "train_vqvae", "dump", "train_mdlm",
-                                     "sample", "analyze", "all"])
+                                     "sample", "analyze", "steps_quality",
+                                     "all"])
     p.add_argument("--out", type=str, default="output/campaign")
     p.add_argument("--steps", type=int, default=12000,
                    help="decoder train steps")
