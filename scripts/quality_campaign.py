@@ -506,17 +506,27 @@ def stage_steps_quality(args):
     shutil.copy(TARGETS_ROOT / fam / f"{name}.pdb", in_dir / f"{name}.pdb")
     target_ca = load_ca_ensemble(TARGETS_ROOT / fam / f"{name}.pdb")[0]
 
+    # eb's knob is the per-step entropy budget (nats), not a step count —
+    # smaller budget = more, finer steps; num_steps only caps the scan.
+    # Budgets must straddle the model's per-position entropy (up to
+    # ln(4096) = 8.3 nats for an underfit model) — any budget below the
+    # single-position minimum degenerates to one-token-per-step.
     grid = [("ddpm", s) for s in (2, 5, 10, 25)] + \
            [("gibbs", s) for s in (2, 4, 8, 16)] + \
-           [("eb", s) for s in (4, 8, 16)]
+           [("eb", b) for b in (128.0, 32.0, 8.0)]
     rows = []
-    for mode, steps in grid:
-        out_dir = root / "steps_quality" / f"{mode}_{steps}"
+    for mode, knob in grid:
+        out_dir = root / "steps_quality" / f"{mode}_{knob}"
         argv = ["--input", str(in_dir), "--output", str(out_dir),
-                "--mode", mode, "--num_steps", str(steps),
+                "--mode", mode,
                 "--num_samples", str(args.num_samples),
                 "--ckpt", str(root / "mdlm_run" / "ckpt"),
                 "--vqvae_ckpt", str(root / "vqvae")]
+        if mode == "eb":
+            argv += ["--entropy_budget", str(knob),
+                     "--num_steps", "16"]
+        else:
+            argv += ["--num_steps", str(int(knob))]
         t0 = _time.time()
         try:
             sample_main(argv)
@@ -524,7 +534,7 @@ def stage_steps_quality(args):
             Lc = min(pred_ca.shape[1], len(target_ca))
             pred_ca, tgt = pred_ca[:, :Lc], target_ca[:Lc]
             tm_best, rmsd_best = tm_ensemble(pred_ca, tgt)
-            row = {"mode": mode, "steps": steps,
+            row = {"mode": mode, "knob": knob,
                    "tm_ens": round(tm_best, 4),
                    "rmsd_best": round(rmsd_best, 3),
                    "tm_div": round(float(tm_diversity(pred_ca)), 4),
@@ -532,7 +542,7 @@ def stage_steps_quality(args):
                        metrics.validity({"p": pred_ca})["p"]),
                    "wall_s": round(_time.time() - t0, 1)}
         except Exception as e:
-            row = {"mode": mode, "steps": steps, "error": str(e)}
+            row = {"mode": mode, "knob": knob, "error": str(e)}
         rows.append(row)
         print(row, flush=True)
     (root / "steps_quality" / "report.json").write_text(
