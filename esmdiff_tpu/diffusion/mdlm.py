@@ -299,6 +299,126 @@ class MDLM:
             breakdown["seq_nll"] = seq_nll
         return loss, breakdown
 
+    # -- packed training objective --------------------------------------------
+    def loss_packed(self, params, batch: dict, key, max_segments: int,
+                    training: bool = True, t_override=None):
+        """NELBO over sequence-packed rows (train/data.py::packed_batches).
+
+        Same per-sequence objective as :meth:`loss` — diffusion time is
+        sampled PER SEGMENT (each packed chain gets its own t, as each row
+        does in the unpacked reference semantics, model.py:404), attention
+        is segment-masked, and rotary positions restart per segment.  The
+        pytree layout, RNG structure, and loss normalization (sum over
+        valid tokens / count) match the unpacked path; parity vs per-row
+        masked forwards is pinned by tests/test_pack_train.py.
+
+        batch: structure_tokens / sequence_tokens / mask (B, P), plus
+        segment_ids (B, P) int32 with -1 on padding and positions (B, P).
+        max_segments: static S — per-row segment-slot cap used for the
+        (B, S) time draw; must be >= the collator's cap.
+        """
+        cfg = self.cfg
+        x0 = batch["structure_tokens"]
+        labels = x0
+        condition_seq = batch["sequence_tokens"]
+        seg = batch["segment_ids"]
+        B, P = x0.shape
+        S = int(max_segments)
+        valid = seg >= 0
+        segc = jnp.clip(seg, 0, S - 1)
+        k_drop, k_cmask, k_t, k_q = jax.random.split(key, 4)
+
+        if cfg.condition_dropout > 0 and training:
+            drop = jax.random.uniform(k_drop) < cfg.condition_dropout
+            condition_seq = jnp.where(
+                drop, jnp.full_like(condition_seq, C.SEQUENCE_MASK_TOKEN),
+                condition_seq)
+        if cfg.condition_mask_rate > 0 and training:
+            m = (
+                jax.random.uniform(k_cmask, condition_seq.shape)
+                < cfg.condition_mask_rate
+            ) & (condition_seq != C.SEQUENCE_PAD_TOKEN)
+            condition_seq = jnp.where(m, C.SEQUENCE_MASK_TOKEN, condition_seq)
+        if cfg.structure_only:
+            condition_seq = jnp.full_like(condition_seq, C.SEQUENCE_MASK_TOKEN)
+
+        loss_mask = (batch["mask"] * (labels != C.STRUCTURE_PAD_TOKEN)
+                     * valid.astype(jnp.float32))
+
+        # per-segment time (B, S); antithetic striding runs across all slots
+        t = sample_t(k_t, B * S, cfg, self.noise).reshape(B, S) \
+            if t_override is None else t_override
+        if cfg.T > 0:
+            t = (t * cfg.T).astype(jnp.int32).astype(jnp.float32) / cfg.T
+            t = t + 1.0 / cfg.T
+
+        if cfg.change_of_variables:
+            cond_seg = t                                   # (B, S)
+            f_T = jnp.log1p(-jnp.exp(-self.noise.sigma_max))
+            f_0 = jnp.log1p(-jnp.exp(-self.noise.sigma_min))
+            move_seg = jnp.exp(f_0 + t * (f_T - f_0))
+            dsig_tok = sig_tok = None
+        else:
+            sigma_seg, dsigma_seg = self.noise(t)          # (B, S) each
+            cond_seg = sigma_seg
+            move_seg = 1 - jnp.exp(-sigma_seg)
+            sig_tok = jnp.take_along_axis(sigma_seg, segc, axis=1)
+            dsig_tok = jnp.take_along_axis(dsigma_seg, segc, axis=1)
+        move_tok = jnp.take_along_axis(move_seg, segc, axis=1)  # (B, P)
+
+        # keep padding slots un-noised (they're outside attention and loss,
+        # but MASK embeddings there would be gratuitous input drift)
+        nmm = ~valid
+        if batch.get("non_moving_mask") is not None:
+            nmm = nmm | batch["non_moving_mask"].astype(bool)
+        xt, condition_seq = q_xt(k_q, x0, move_tok, cfg,
+                                 condition_seq=condition_seq,
+                                 non_moving_mask=nmm)
+
+        # per-segment sigma embedding, gathered to tokens (the unpacked
+        # path's per-row tile, generalized to ragged rows)
+        if not cfg.time_conditioning:
+            cond_seg = jnp.zeros_like(cond_seg)
+        emb = self.sigma_embedder.apply(
+            {"params": params["sigma_embedder"]}, cond_seg.reshape(B * S))
+        emb = emb.reshape(B, S, -1)
+        aux = jnp.take_along_axis(emb, segc[:, :, None], axis=1)  # (B, P, D)
+
+        out = self.net.apply(
+            {"params": params["net"]},
+            structure_tokens=xt,
+            sequence_tokens=condition_seq,
+            sequence_id=seg,
+            positions=batch["positions"],
+            auxiliary_embeddings=aux,
+        )
+        logits = logits_parameterization(out.structure_logits, xt, cfg)
+        log_p_theta = jnp.take_along_axis(
+            logits, x0[:, :, None], axis=-1).squeeze(-1)
+
+        if cfg.change_of_variables or cfg.importance_sampling:
+            per_tok = log_p_theta * jnp.log1p(-jnp.exp(-self.noise.sigma_min))
+        else:
+            per_tok = -log_p_theta * (dsig_tok / jnp.expm1(sig_tok))
+
+        denom = jnp.maximum(loss_mask.sum(), 1.0)
+        loss = (per_tok * loss_mask).sum() / denom
+        breakdown = {"nelbo": loss}
+
+        if cfg.sequence_prediction:
+            seq_logits = out.sequence_logits
+            seq_lp = jax.nn.log_softmax(
+                seq_logits.astype(jnp.float32), axis=-1)
+            seq_nll = -jnp.take_along_axis(
+                seq_lp, batch["sequence_tokens"][:, :, None], axis=-1
+            ).squeeze(-1)
+            seq_nll = jnp.where(
+                batch["sequence_tokens"] == C.SEQUENCE_PAD_TOKEN, 0.0, seq_nll)
+            seq_nll = (seq_nll * loss_mask).sum() / denom
+            loss = loss + seq_nll
+            breakdown["seq_nll"] = seq_nll
+        return loss, breakdown
+
     # -- ancestral sampler ----------------------------------------------------
     def ddpm_sample(
         self,

@@ -38,6 +38,22 @@ class DataConfig:
     seed: int = 42
     cluster_rep_csv: Optional[str] = None
     with_embeddings: bool = False    # CLM/JLM need precomputed embeddings
+    # Sequence-packed training (MDLM only; ops/packing.py rationale): >0
+    # bin-packs ragged chains into ``batch_size`` rows of exactly this many
+    # tokens (one XLA program, near-zero pad waste) instead of bucketed
+    # padding.  Opt-in: packing segment-masks attention (pads and other
+    # chains excluded), whereas the reference's unpacked trainer attends
+    # into padding (slm/models/model.py:476-483 passes no attention mask).
+    pack_len: int = 0
+    pack_max_segments: int = 0       # static per-row segment cap; 0 = auto
+
+
+def resolve_pack_segments(cfg: DataConfig) -> int:
+    """Static per-row segment-slot count S for packed batches (per-segment
+    diffusion times are sampled into an (B, S) array)."""
+    if cfg.pack_max_segments > 0:
+        return cfg.pack_max_segments
+    return max(1, cfg.pack_len // 8)
 
 
 def random_truncate(rng: np.random.RandomState, arrays: dict, max_len: int,
@@ -132,6 +148,85 @@ def pad_collate(items: Sequence[dict], bucket_multiple: int) -> dict:
     return batch
 
 
+def pack_collate(rows: Sequence[Sequence[dict]], pack_len: int) -> dict:
+    """Materialize pre-assigned rows of items into one packed batch.
+
+    rows: list of B lists of items; each row's total length must be
+    <= pack_len.  Emits the same token tracks as :func:`pad_collate` plus
+    the packing metadata the segment-masked trunk path consumes
+    (ops/packing.py semantics: valid tokens of segment s carry id s,
+    padding carries -1; rotary positions restart per segment).
+    """
+    B = len(rows)
+    batch = {
+        "sequence_tokens": np.full((B, pack_len), C.SEQUENCE_PAD_TOKEN,
+                                   np.int32),
+        "structure_tokens": np.full((B, pack_len), C.STRUCTURE_PAD_TOKEN,
+                                    np.int32),
+        "mask": np.zeros((B, pack_len), np.float32),
+        "segment_ids": np.full((B, pack_len), -1, np.int32),
+        "positions": np.zeros((B, pack_len), np.int32),
+    }
+    for i, row in enumerate(rows):
+        off = 0
+        for s, it in enumerate(row):
+            L = min(len(it["structure_tokens"]), pack_len - off)
+            sl = slice(off, off + L)
+            batch["sequence_tokens"][i, sl] = it["sequence_tokens"][:L]
+            batch["structure_tokens"][i, sl] = it["structure_tokens"][:L]
+            batch["mask"][i, sl] = 1.0
+            batch["segment_ids"][i, sl] = s
+            batch["positions"][i, sl] = np.arange(L)
+            off += L
+    return batch
+
+
+def packed_batches(split: Split, cfg: DataConfig, shuffle: bool,
+                   seed: int) -> Iterator[dict]:
+    """Yield packed (batch_size, pack_len) batches via first-fit-decreasing
+    over a sliding window of the (shuffled) item stream.
+
+    Every item appears exactly once per epoch; the final batch may carry
+    underfull (or empty) rows — shapes stay static so there is still only
+    one XLA program.  Items longer than pack_len are truncated (the dataset
+    already crops to max_len; set pack_len >= max_len to avoid this).
+    """
+    rng = np.random.RandomState(seed)
+    idx = split.indices.copy()
+    if shuffle:
+        rng.shuffle(idx)
+    P, B = cfg.pack_len, cfg.batch_size
+    S = resolve_pack_segments(cfg)
+    stream = iter(idx)
+    buf: list[dict] = []
+    window = 8 * B
+    exhausted = False
+    while True:
+        while not exhausted and len(buf) < window:
+            try:
+                buf.append(split.dataset.load(int(next(stream)), rng))
+            except StopIteration:
+                exhausted = True
+        if not buf:
+            return
+        # first-fit-decreasing into B rows
+        order = sorted(range(len(buf)),
+                       key=lambda j: -len(buf[j]["structure_tokens"]))
+        rows: list[list[dict]] = [[] for _ in range(B)]
+        space = [P] * B
+        placed = set()
+        for j in order:
+            L = min(len(buf[j]["structure_tokens"]), P)
+            for r in range(B):
+                if space[r] >= L and len(rows[r]) < S:
+                    rows[r].append(buf[j])
+                    space[r] -= L
+                    placed.add(j)
+                    break
+        buf = [it for j, it in enumerate(buf) if j not in placed]
+        yield pack_collate(rows, P)
+
+
 @dataclasses.dataclass
 class Split:
     dataset: EncodingDataset
@@ -153,7 +248,13 @@ def batches(split: Split, cfg: DataConfig, shuffle: bool, seed: int,
     """Yield padded global batches (shuffled fixed-size chunks).  Each batch
     pads to the next ``bucket_multiple`` boundary, so the number of distinct
     XLA programs is bounded by max_len / bucket_multiple regardless of the
-    corpus's length distribution."""
+    corpus's length distribution.
+
+    With ``cfg.pack_len > 0`` batches are sequence-packed instead (see
+    :func:`packed_batches`)."""
+    if cfg.pack_len > 0:
+        yield from packed_batches(split, cfg, shuffle, seed)
+        return
     rng = np.random.RandomState(seed)
     idx = split.indices.copy()
     if shuffle:

@@ -154,9 +154,15 @@ def build_task(cfg: TrainConfig, emb_dim: Optional[int] = None):
     D = emb_dim if emb_dim is not None else C.ESM3_D_MODEL
     if task == "mdlm":
         mdlm = build_mdlm(cfg)
-        return (lambda p, b, k, training=True: mdlm.loss(
-                    p, b, k, training=training),
-                lambda: init_params(mdlm, cfg))
+        S = data_mod.resolve_pack_segments(cfg.data)
+
+        def mdlm_loss(p, b, k, training=True):
+            if "segment_ids" in b:   # packed batch (data.pack_len > 0)
+                return mdlm.loss_packed(p, b, k, max_segments=S,
+                                        training=training)
+            return mdlm.loss(p, b, k, training=training)
+
+        return mdlm_loss, lambda: init_params(mdlm, cfg)
     if task == "clm":
         model = build_clm(cfg)
 
@@ -226,6 +232,9 @@ def train(cfg: TrainConfig) -> dict:
         # AR heads consume precomputed per-residue ESM3 embeddings
         # (reference scripts/dump.py output; model.py:87-90,268,297)
         cfg.data.with_embeddings = True
+        if cfg.data.pack_len > 0:
+            raise ValueError("data.pack_len (sequence-packed training) is "
+                             "MDLM-only; the AR heads use bucketed padding")
     dataset = data_mod.EncodingDataset(cfg.data, training=True)
     train_split, val_split = data_mod.train_val_split(dataset, cfg.data)
     print(f"[data] {len(train_split.indices)} train / "

@@ -1,0 +1,206 @@
+"""Sequence-packed MDLM training (data.pack_len): collator coverage,
+loss parity vs per-row masked forwards, and a trainer smoke run.
+
+The packed objective must compute the same per-sequence NELBO as giving
+each chain its own lengths-masked row with its own diffusion time
+(diffusion/mdlm.py::loss_packed); the -1e9 attention mask makes excluded
+keys exact zeros after softmax, so parity on CPU is tight.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esmdiff_tpu.core import constants as C
+from esmdiff_tpu.diffusion.mdlm import MDLM, q_xt
+from esmdiff_tpu.models.esm3 import ESM3, esm3_tiny
+from esmdiff_tpu.nn.layers import TimestepEmbedder
+from esmdiff_tpu.train import data as data_mod
+from esmdiff_tpu.train.data import DataConfig
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("encodings_pack")
+    rng = np.random.RandomState(7)
+    for i in range(10):
+        L = rng.randint(8, 40)
+        np.savez(
+            root / f"chain{i}.npz",
+            sequence_tokens=np.concatenate(
+                [[C.SEQUENCE_BOS_TOKEN], rng.randint(4, 24, L),
+                 [C.SEQUENCE_EOS_TOKEN]]).astype(np.int32),
+            structure_tokens=np.concatenate(
+                [[C.STRUCTURE_BOS_TOKEN], rng.randint(0, 4096, L),
+                 [C.STRUCTURE_EOS_TOKEN]]).astype(np.int32),
+        )
+    return str(root)
+
+
+def test_pack_collate_layout():
+    rng = np.random.RandomState(0)
+
+    def item(L):
+        return {
+            "sequence_tokens": rng.randint(4, 24, L).astype(np.int32),
+            "structure_tokens": rng.randint(0, 4096, L).astype(np.int32),
+        }
+
+    rows = [[item(5), item(4)], [item(7)]]
+    b = data_mod.pack_collate(rows, pack_len=12)
+    assert b["structure_tokens"].shape == (2, 12)
+    np.testing.assert_array_equal(
+        b["segment_ids"][0], [0] * 5 + [1] * 4 + [-1] * 3)
+    np.testing.assert_array_equal(
+        b["positions"][0], list(range(5)) + list(range(4)) + [0] * 3)
+    np.testing.assert_array_equal(
+        b["segment_ids"][1], [0] * 7 + [-1] * 5)
+    pad = b["segment_ids"] < 0
+    assert (b["structure_tokens"][pad] == C.STRUCTURE_PAD_TOKEN).all()
+    assert (b["mask"][pad] == 0).all()
+    assert (b["mask"][~pad] == 1).all()
+
+
+def test_packed_batches_cover_epoch_exactly_once(corpus):
+    cfg = DataConfig(path=corpus, batch_size=2, max_len=64, pack_len=64,
+                     train_val_split=1.0)
+    ds = data_mod.EncodingDataset(cfg)
+    tr, _ = data_mod.train_val_split(ds, cfg)
+    seen = []
+    for b in data_mod.batches(tr, cfg, shuffle=True, seed=0):
+        B, P = b["structure_tokens"].shape
+        assert (B, P) == (2, 64)
+        seg = b["segment_ids"]
+        for r in range(B):
+            for s in range(seg[r].max() + 1):
+                tok = b["structure_tokens"][r][seg[r] == s]
+                if len(tok):
+                    seen.append(tuple(tok.tolist()))
+        # segments are contiguous and front-loaded
+        valid = seg >= 0
+        for r in range(B):
+            n = valid[r].sum()
+            assert valid[r, :n].all() and not valid[r, n:].any()
+    # each training chain appears exactly once (stripped of BOS/EOS)
+    expected = []
+    for i in tr.indices:
+        it = ds.load(int(i), np.random.RandomState(0))
+        expected.append(tuple(it["structure_tokens"].tolist()))
+    assert sorted(seen) == sorted(expected)
+
+
+@pytest.fixture(scope="module")
+def tiny_mdlm():
+    cfg = esm3_tiny(dtype="float32", head_type="structure",
+                    n_structure_heads=C.STRUCTURE_VOCAB_SIZE)
+    net = ESM3(cfg)
+    se = TimestepEmbedder(hidden_size=cfg.d_model, dtype=jnp.float32)
+    model = MDLM(net, se)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_loss_packed_matches_per_row_masked(tiny_mdlm):
+    """loss_packed == hand-computed NELBO from one lengths-masked forward
+    per segment with that segment's own t (same q_xt draw)."""
+    model, params = tiny_mdlm
+    rng = np.random.RandomState(3)
+    lens = [6, 5, 3]
+    P, S = 16, 4
+    x0_np = np.full((1, P), C.STRUCTURE_PAD_TOKEN, np.int32)
+    cond_np = np.full((1, P), C.SEQUENCE_PAD_TOKEN, np.int32)
+    seg_np = np.full((1, P), -1, np.int32)
+    pos_np = np.zeros((1, P), np.int32)
+    off = 0
+    for s, L in enumerate(lens):
+        x0_np[0, off:off + L] = rng.randint(0, 4096, L)
+        cond_np[0, off:off + L] = rng.randint(4, 24, L)
+        seg_np[0, off:off + L] = s
+        pos_np[0, off:off + L] = np.arange(L)
+        off += L
+    batch = {
+        "structure_tokens": jnp.asarray(x0_np),
+        "sequence_tokens": jnp.asarray(cond_np),
+        "mask": jnp.asarray((seg_np >= 0).astype(np.float32)),
+        "segment_ids": jnp.asarray(seg_np),
+        "positions": jnp.asarray(pos_np),
+    }
+    t_over = jnp.asarray([[0.3, 0.55, 0.8, 0.99]], jnp.float32)
+    key = jax.random.PRNGKey(11)
+    loss_p, bd = model.loss_packed(params, batch, key, max_segments=S,
+                                   t_override=t_over)
+
+    # --- manual expected: replicate the packed RNG structure ----------------
+    _, _, _, k_q = jax.random.split(key, 4)
+    seg = batch["segment_ids"]
+    valid = seg >= 0
+    segc = jnp.clip(seg, 0, S - 1)
+    sigma_seg, dsigma_seg = model.noise(t_over)
+    move_tok = jnp.take_along_axis(1 - jnp.exp(-sigma_seg), segc, axis=1)
+    xt, _ = q_xt(k_q, batch["structure_tokens"], move_tok, model.cfg,
+                 condition_seq=None, non_moving_mask=~valid)
+
+    total, count = 0.0, 0
+    off = 0
+    for s, L in enumerate(lens):
+        sl = slice(off, off + L)
+        logits, _ = model.forward_logits(
+            params, xt[:, sl], batch["sequence_tokens"][:, sl],
+            sigma_seg[:, s][:, None], lengths=jnp.asarray([L]))
+        lp = jnp.take_along_axis(
+            logits, batch["structure_tokens"][:, sl][:, :, None],
+            axis=-1).squeeze(-1)
+        w = dsigma_seg[0, s] / jnp.expm1(sigma_seg[0, s])
+        total = total + float((-lp * w).sum())
+        count += L
+        off += L
+    expected = total / count
+    np.testing.assert_allclose(float(loss_p), expected, rtol=3e-5)
+    assert np.isfinite(float(bd["nelbo"]))
+
+
+def test_loss_packed_grad_flows(tiny_mdlm):
+    model, params = tiny_mdlm
+    B, P, S = 2, 12, 2
+    rng = np.random.RandomState(0)
+    seg = np.repeat([[0] * 7 + [1] * 4 + [-1]], B, axis=0).astype(np.int32)
+    batch = {
+        "structure_tokens": jnp.asarray(
+            np.where(seg >= 0, rng.randint(0, 4096, (B, P)),
+                     C.STRUCTURE_PAD_TOKEN).astype(np.int32)),
+        "sequence_tokens": jnp.asarray(
+            np.where(seg >= 0, 5, C.SEQUENCE_PAD_TOKEN).astype(np.int32)),
+        "mask": jnp.asarray((seg >= 0).astype(np.float32)),
+        "segment_ids": jnp.asarray(seg),
+        "positions": jnp.asarray(
+            np.repeat([list(range(7)) + list(range(4)) + [0]], B, axis=0)
+            .astype(np.int32)),
+    }
+
+    def f(p):
+        return model.loss_packed(p, batch, jax.random.PRNGKey(0),
+                                 max_segments=S)[0]
+
+    g = jax.grad(f)(params)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
+
+
+@pytest.mark.slow
+def test_train_loop_packed_smoke(corpus, tmp_path):
+    from esmdiff_tpu.train.config import load_config
+    from esmdiff_tpu.train.loop import train
+
+    cfg = load_config(None, [
+        f"data.path={corpus}", "data.batch_size=2", "data.max_len=48",
+        "data.pack_len=48", "data.pack_max_segments=4",
+        "model.size=tiny", "model.dtype=float32", "model.remat=false",
+        "optim.lr=1e-3",
+        "trainer.max_epochs=2", "trainer.log_every_n_steps=1",
+        f"trainer.ckpt_dir={tmp_path}/packed",
+    ])
+    result = train(cfg)
+    assert np.isfinite(result["best_val_loss"])
+    assert result["steps"] > 0
