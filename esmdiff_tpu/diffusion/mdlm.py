@@ -63,6 +63,21 @@ def sample_t(key, n: int, cfg: MDLMConfig, noise: Noise):
     return t
 
 
+def packed_segment_times(key, B: int, S: int, cfg: MDLMConfig, noise: Noise):
+    """(B, S) per-segment diffusion times for packed training.
+
+    Antithetic strata over all B*S slots, then PERMUTED across slots:
+    row-major assignment would pin stratum r*S to every row's first
+    segment, so rows holding fewer than S segments would only ever train
+    at S-spaced noise levels (observed: a 1-segment row at slot 0 drew
+    t~0.01 every step).  The permutation keeps batch-level stratification
+    while decorrelating slot index from stratum.
+    """
+    k_t, k_perm = jax.random.split(key)
+    t = sample_t(k_t, B * S, cfg, noise)
+    return jax.random.permutation(k_perm, t).reshape(B, S)
+
+
 def q_xt(key, x0, move_chance, cfg: MDLMConfig, condition_seq=None,
          non_moving_mask=None):
     """Forward diffusion: mask each token with prob move_chance
@@ -345,9 +360,12 @@ class MDLM:
         loss_mask = (batch["mask"] * (labels != C.STRUCTURE_PAD_TOKEN)
                      * valid.astype(jnp.float32))
 
-        # per-segment time (B, S); antithetic striding runs across all slots
-        t = sample_t(k_t, B * S, cfg, self.noise).reshape(B, S) \
-            if t_override is None else t_override
+        # per-segment time (B, S) — permuted antithetic strata (see
+        # packed_segment_times for why the permutation is load-bearing)
+        if t_override is None:
+            t = packed_segment_times(k_t, B, S, cfg, self.noise)
+        else:
+            t = t_override
         if cfg.T > 0:
             t = (t * cfg.T).astype(jnp.int32).astype(jnp.float32) / cfg.T
             t = t + 1.0 / cfg.T

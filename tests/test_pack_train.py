@@ -90,6 +90,27 @@ def test_packed_batches_cover_epoch_exactly_once(corpus):
     assert sorted(seen) == sorted(expected)
 
 
+def test_packed_segment_times_decorrelate_slot_from_stratum():
+    """Row-major antithetic assignment would pin slot (0, 0) to the lowest
+    stratum (t < 1/(B*S)) forever; the permuted draw must cover the full
+    range across steps while keeping per-step stratification."""
+    from esmdiff_tpu.diffusion.mdlm import MDLMConfig, packed_segment_times
+    from esmdiff_tpu.diffusion.noise import LogLinearNoise
+
+    cfg, noise = MDLMConfig(), LogLinearNoise()
+    B, S = 2, 8
+    t00 = np.array([
+        float(packed_segment_times(jax.random.PRNGKey(k), B, S, cfg, noise)[0, 0])
+        for k in range(64)
+    ])
+    assert t00.max() - t00.min() > 0.5          # slot 0 spans the range
+    # each single draw is still a stratified cover of [0, 1]
+    t = np.sort(np.asarray(packed_segment_times(
+        jax.random.PRNGKey(0), B, S, cfg, noise)).ravel())
+    gaps = np.diff(t)
+    assert gaps.max() < 2.5 / (B * S)
+
+
 @pytest.fixture(scope="module")
 def tiny_mdlm():
     cfg = esm3_tiny(dtype="float32", head_type="structure",
