@@ -103,6 +103,7 @@ def iterative_unmask_sample(
     num_steps: int = 16,
     temperature: float = 1.4,
     top_p: float = 0.9,
+    row_keys=None,
 ):
     """Run the iterative unmasking loop.
 
@@ -111,25 +112,31 @@ def iterative_unmask_sample(
     initial_tokens: (B, L) int32; positions to generate hold STRUCTURE_MASK.
     decode_mask: (B, L) bool — positions eligible for generation (True where
         initially masked and not BOS/EOS/PAD).
+    row_keys: optional (B, 2) uint32 per-row PRNG keys — row b's draws
+        depend only on ``row_keys[b]`` + the step index, not on batch size
+        or placement (coalesced-serving determinism, cli/serve.py).  When
+        None, derived from ``key`` via ``jax.random.split(key, B)``.
     Returns (B, L) int32 tokens with all decode positions committed.
     """
     B, L = initial_tokens.shape
+    if row_keys is None:
+        row_keys = jax.random.split(key, B)
     decode_mask = decode_mask & (initial_tokens == C.STRUCTURE_MASK_TOKEN)
     n_init = jnp.sum(decode_mask, axis=-1)  # (B,)
     quotas = jnp.ceil(
         cosine_unmask_schedule(num_steps)[None, :] * n_init[:, None]
     ).astype(jnp.int32)  # (B, num_steps)
 
-    def step(carry, inputs):
-        x, key = carry
-        quota = inputs  # (B,) total tokens that must be unmasked after this step
-        key, k_samp = jax.random.split(key)
+    def step(x, inputs):
+        quota, step_i = inputs  # quota: (B,) unmasked-count target after step
+        k_samp = jax.vmap(
+            lambda rk: jax.random.fold_in(rk, step_i))(row_keys)
         logits = forward_logits_fn(x).astype(jnp.float32)
         scaled = logits / jnp.maximum(temperature, 1e-4)
         scaled = top_p_filter(scaled, top_p)
-        gumbel = -jnp.log(
-            -jnp.log(jax.random.uniform(k_samp, scaled.shape) + 1e-20) + 1e-20
-        )
+        u = jax.vmap(
+            lambda rk, sr: jax.random.uniform(rk, sr.shape))(k_samp, scaled)
+        gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
         sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
@@ -139,10 +146,11 @@ def iterative_unmask_sample(
         n_new = jnp.maximum(quota - already, 0)  # (B,)
         commit = select_top_by_confidence(conf, still_masked, n_new)
         x = jnp.where(commit, sampled, x)
-        return (x, key), None
+        return x, None
 
-    (x, _), _ = jax.lax.scan(
-        step, (initial_tokens.astype(jnp.int32), key), quotas.T
+    x, _ = jax.lax.scan(
+        step, initial_tokens.astype(jnp.int32),
+        (quotas.T, jnp.arange(num_steps)),
     )
     return x
 
@@ -156,6 +164,7 @@ def entropy_bounded_unmask_sample(
     temperature: float = 1.0,
     top_p: float = 1.0,
     max_steps: int = 64,
+    row_keys=None,
 ):
     """Adaptive unmasking: per step, commit the largest low-entropy set whose
     cumulative predictive entropy stays under ``entropy_budget`` (nats).
@@ -165,19 +174,25 @@ def entropy_bounded_unmask_sample(
     regions get more; the number of trunk forwards adapts per input.  Runs as
     a ``lax.while_loop`` so finished batches stop paying for forwards.
 
+    row_keys: optional (B, 2) uint32 per-row keys (see
+    :func:`iterative_unmask_sample`); derived from ``key`` when None.
+
     Returns (tokens (B, L) int32, n_steps_used (int32)).
     """
     B, L = initial_tokens.shape
+    if row_keys is None:
+        row_keys = jax.random.split(key, B)
     decode_mask = decode_mask & (initial_tokens == C.STRUCTURE_MASK_TOKEN)
 
     def cond(carry):
-        x, _, steps = carry
+        x, steps = carry
         masked = jnp.any((x == C.STRUCTURE_MASK_TOKEN) & decode_mask)
         return masked & (steps < max_steps)
 
     def body(carry):
-        x, key, steps = carry
-        key, k_samp = jax.random.split(key)
+        x, steps = carry
+        k_samp = jax.vmap(
+            lambda rk: jax.random.fold_in(rk, steps))(row_keys)
         logits = forward_logits_fn(x).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1)  # (B, L)
@@ -185,9 +200,9 @@ def entropy_bounded_unmask_sample(
         scaled = logits / jnp.maximum(temperature, 1e-4)
         if top_p < 1.0:
             scaled = top_p_filter(scaled, top_p)
-        gumbel = -jnp.log(
-            -jnp.log(jax.random.uniform(k_samp, scaled.shape) + 1e-20)
-            + 1e-20)
+        u = jax.vmap(
+            lambda rk, sr: jax.random.uniform(rk, sr.shape))(k_samp, scaled)
+        gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
         sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
         still = (x == C.STRUCTURE_MASK_TOKEN) & decode_mask
@@ -216,9 +231,9 @@ def entropy_bounded_unmask_sample(
                                 dtype=jnp.bool_)
         commit = commit | (still & is_min)
         x = jnp.where(commit, sampled, x)
-        return x, key, steps + 1
+        return x, steps + 1
 
-    x, _, steps = jax.lax.while_loop(
-        cond, body, (initial_tokens.astype(jnp.int32), key,
+    x, steps = jax.lax.while_loop(
+        cond, body, (initial_tokens.astype(jnp.int32),
                      jnp.zeros((), jnp.int32)))
     return x, steps

@@ -451,6 +451,7 @@ class MDLM:
         sequence_id=None,
         lengths=None,
         pack: int = 1,
+        row_keys=None,
     ):
         """25-step ancestral denoising as one ``lax.scan``
         (reference ddpm_sample/_ddpm_update, model.py:543-607).
@@ -460,10 +461,18 @@ class MDLM:
         pack: sequence-packing factor for the trunk forwards (ops/packing.py)
         — sampler state and RNG draws stay at (B, L), so results for a given
         seed are unchanged (up to trunk fp reduction order).
+        row_keys: optional (B, 2) uint32 per-row PRNG keys.  Every random
+        draw for row b depends ONLY on ``row_keys[b]`` and the step index —
+        NOT on the batch size, the row's placement, or the other rows — so a
+        request coalesced into a shared serving batch draws exactly what it
+        would draw alone (cli/serve.py determinism).  When None, keys derive
+        from ``key`` via ``jax.random.split(key, B)``.
         Returns (B, L) int32 structure tokens (with BOS/EOS slots).
         """
         cfg = self.cfg
         B, L = sequence_tokens.shape
+        if row_keys is None:
+            row_keys = jax.random.split(key, B)
         if input_prior is None:
             x = jnp.full((B, L), cfg.mask_index, dtype=jnp.int32)
         else:
@@ -480,10 +489,11 @@ class MDLM:
         ts = timesteps[:n_iters]
         is_final = jnp.arange(n_iters) == num_steps
 
-        def step(carry, inp):
-            t, final = inp
-            x, key = carry
-            key, k_tok, k_stay = jax.random.split(key, 3)
+        def step(x, inp):
+            t, final, step_i = inp
+            ks = jax.vmap(lambda rk: jax.random.fold_in(rk, step_i))(row_keys)
+            k_tok = jax.vmap(lambda rk: jax.random.fold_in(rk, 0))(ks)
+            k_stay = jax.vmap(lambda rk: jax.random.fold_in(rk, 1))(ks)
             tb = jnp.full((B,), t, dtype=jnp.float32)
             sigma_t = self.noise.total_noise(tb)
             sigma_s = self.noise.total_noise(tb - dt)
@@ -502,9 +512,13 @@ class MDLM:
             # (B, L, V) arrays per step).  Gumbel-max needs no normalization.
             # Verified against the direct q_xs formula in
             # tests/test_diffusion.py::test_ddpm_two_stage_update_equivalence.
-            g = jax.random.gumbel(k_tok, z.shape, jnp.float32)
+            g = jax.vmap(
+                lambda rk, zr: jax.random.gumbel(rk, zr.shape, jnp.float32)
+            )(k_tok, z)
             x_new = jnp.argmax(z + g, axis=-1).astype(jnp.int32)
-            stay = jax.random.uniform(k_stay, (B, L)) * mc_t < mc_s
+            stay_u = jax.vmap(
+                lambda rk: jax.random.uniform(rk, (L,)))(k_stay)
+            stay = stay_u * mc_t < mc_s
             x_new = jnp.where(stay, cfg.mask_index, x_new)
             copy = x != cfg.mask_index
             x_upd = jnp.where(copy, x, x_new)
@@ -513,7 +527,8 @@ class MDLM:
             x_denoised = jnp.where(
                 copy, x, jnp.argmax(z, axis=-1).astype(jnp.int32))
             x = jnp.where(final, x_denoised, x_upd)
-            return (x, key), None
+            return x, None
 
-        (x, key), _ = jax.lax.scan(step, (x, key), (ts, is_final))
+        x, _ = jax.lax.scan(
+            step, x, (ts, is_final, jnp.arange(n_iters)))
         return x

@@ -421,6 +421,9 @@ def stage_train_mdlm(args):
         f"data.path={root / 'encodings'}",
         f"data.batch_size={args.batch}",
         f"data.max_len={PAD_L + 2}", "data.bucket_multiple=64",
+        # packed training: exact parity (tests/test_pack_train.py), 1.64x
+        # steady tokens/s and a single compiled shape (PERF.md round-3f)
+        "data.pack_len=512",
         f"optim.lr={args.lr}", "optim.warmup_steps=200",
         f"trainer.max_epochs={args.epochs}",
         "trainer.log_every_n_steps=20",
