@@ -33,6 +33,12 @@ train-vqvae-smoke:
 	  --input /root/reference/data/targets/bpti --output /tmp/esmdiff_vq \
 	  --scale tiny --steps 40 --batch 2 --max_len 80
 
+# real-weight-day runbook smoke: download(fixture)->verify->convert->
+# quant-parity->bench->campaign on reference-layout fixture checkpoints
+# (scripts/real_weight_day.py; real usage documented in its docstring)
+real-weight-day-smoke:
+	python scripts/real_weight_day.py --fixture
+
 # 5-minute end-to-end smoke: dump a tiny corpus, train 2 epochs, sample, analyze
 smoke:
 	JAX_PLATFORM_NAME=cpu python -m esmdiff_tpu.cli.dump \
