@@ -137,6 +137,10 @@ class MDLM:
         self.sigma_embedder = sigma_embedder  # flax TimestepEmbedder
         self.noise = noise if noise is not None else LogLinearNoise()
         self.cfg = cfg
+        # optional trunk-forward override (trunk_params, **net_kwargs) ->
+        # ESMOutput; set by trainer.strategy=ppS|dpNxppS to route the scanned
+        # stack through the GPipe pipeline (parallel/pp.mdlm_pp_trunk_apply)
+        self.trunk_apply = None
 
     # -- init ---------------------------------------------------------------
     def init(self, key, batch_size: int = 1, length: int = 8):
@@ -207,15 +211,22 @@ class MDLM:
             condition_seq = condition_seq.reshape(B // pack, pack * L)
             if aux is not None:
                 aux = aux.reshape(B // pack, pack * L, -1)
-        out = self.net.apply(
-            {"params": params["net"]},
-            structure_tokens=xt,
-            sequence_tokens=condition_seq,
-            sequence_id=sequence_id,
-            lengths=lengths,
-            positions=positions,
-            auxiliary_embeddings=aux,
-        )
+        if self.trunk_apply is not None:
+            out = self.trunk_apply(
+                params["net"], structure_tokens=xt,
+                sequence_tokens=condition_seq, sequence_id=sequence_id,
+                lengths=lengths, positions=positions,
+                auxiliary_embeddings=aux)
+        else:
+            out = self.net.apply(
+                {"params": params["net"]},
+                structure_tokens=xt,
+                sequence_tokens=condition_seq,
+                sequence_id=sequence_id,
+                lengths=lengths,
+                positions=positions,
+                auxiliary_embeddings=aux,
+            )
         raw = out.structure_logits
         if pack > 1:
             raw = raw.reshape(B, L, raw.shape[-1])

@@ -29,13 +29,16 @@ Forward parity with the unpipelined stack is exact up to fp reassociation
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 STAGE_AXIS = "stage"
+DATA_AXIS = "data"
 
 
 def pipeline_stack(block_fn: Callable, stacked_params, x, *,
@@ -185,10 +188,145 @@ def stage_shardings(params, mesh: Mesh, axis_name: str = STAGE_AXIS):
     return jax.tree.map(lambda _: spec, params)
 
 
+# ---------------------------------------------------------------------------
+# production strategy surface (trainer.strategy=ppS | dpNxppS), mirroring
+# parallel/tp.py's dpNxtpM wiring through train/state.py + train/loop.py
+# ---------------------------------------------------------------------------
+
+def parse_pp_strategy(strategy: str):
+    """'dp{N}xpp{S}' or 'pp{S}' -> (n_data, n_stage); None otherwise."""
+    m = re.fullmatch(r"dp(\d+)xpp(\d+)", strategy)
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    m = re.fullmatch(r"pp(\d+)", strategy)
+    if m:
+        return 1, int(m.group(1))
+    return None
+
+
+def make_pp_mesh(n_data: int, n_stage: int, devices=None) -> Mesh:
+    """2-D (data, stage) mesh: each data slice runs its own GPipe schedule
+    over its stage column; gradients all-reduce over ``data`` as usual."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_data * n_stage
+    if len(devices) < need:
+        raise ValueError(f"strategy needs {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_stage)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS))
+
+
+def _names(path) -> tuple[str, ...]:
+    out = []
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", None))
+        if name is not None:
+            out.append(str(name))
+    return tuple(out)
+
+
+def _is_blocks_leaf(path) -> bool:
+    names = _names(path)
+    return "blocks" in names and "transformer" in names
+
+
+def pad_tree_blocks(tree, n_stages: int):
+    """Pad every stacked-layer (transformer/blocks) leaf in ``tree`` to a
+    row count divisible by ``n_stages`` with zero (inert) layers, so the
+    stack can be STORED stage-sharded.  Works on params, optimizer moments,
+    or a whole TrainState (optax moments mirror the param paths).  Returns
+    (padded_tree, n_valid_rows).  Pad rows stay exactly zero under AdamW:
+    their grads are zero (the validity mask discards their output) and
+    weight decay of a zero row is zero."""
+    n_valid = [None]
+
+    def rule(path, leaf):
+        if not _is_blocks_leaf(path):
+            return leaf
+        n_rows = leaf.shape[0]
+        n_valid[0] = n_rows if n_valid[0] is None else n_valid[0]
+        n_pad = (-n_rows) % n_stages
+        if n_pad == 0:
+            return leaf
+        zeros = jnp.zeros((n_pad, *leaf.shape[1:]), leaf.dtype)
+        return jnp.concatenate([jnp.asarray(leaf), zeros])
+
+    out = jax.tree_util.tree_map_with_path(rule, tree)
+    return out, n_valid[0]
+
+
+def unpad_tree_blocks(tree, n_valid: int):
+    """Inverse of :func:`pad_tree_blocks`: slice every blocks leaf back to
+    ``n_valid`` rows, so pp-trained checkpoints keep the strategy-portable
+    (ddp/zero2/sampling) layout on disk."""
+
+    def rule(path, leaf):
+        if _is_blocks_leaf(path) and leaf.shape[0] != n_valid:
+            return leaf[:n_valid]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def pp_shardings_for_tree(tree, mesh: Mesh, zero_data: bool = False):
+    """Shardings for ANY pytree containing trunk-shaped subtrees: the
+    stacked-layer (transformer/blocks) leaves go on ``stage``; everything
+    else is replicated, or ZeRO-2-sharded on ``data`` when ``zero_data``
+    (optimizer moments).  The blocks row count must already divide the
+    stage count — :func:`pad_tree_blocks` first."""
+    from .mesh import zero_sharding_for
+
+    stage = NamedSharding(mesh, P(STAGE_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        if _is_blocks_leaf(path):
+            return stage
+        if zero_data:
+            return zero_sharding_for(leaf, mesh)
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def auto_microbatches(local_batch: int, n_stage: int) -> int:
+    """Default GPipe microbatch count: the smallest divisor of the per-data-
+    slice batch that is >= the stage count (bubble <= (S-1)/(2S-1)), else the
+    largest divisor."""
+    divs = [d for d in range(1, local_batch + 1) if local_batch % d == 0]
+    for d in divs:
+        if d >= n_stage:
+            return d
+    return divs[-1]
+
+
+def mdlm_pp_trunk_apply(net, mesh: Mesh, n_microbatches: int,
+                        data_axis: str | None = DATA_AXIS):
+    """Trunk-forward override for :class:`diffusion.mdlm.MDLM` (its
+    ``trunk_apply`` hook): routes the scanned stack through
+    :func:`esm3_pp_forward` so `trainer.strategy=ppS|dpNxppS` trains with
+    stage-sharded weights through the ordinary esmdiff-train path."""
+
+    def apply(trunk_params, *, structure_tokens=None, sequence_tokens=None,
+              sequence_id=None, lengths=None, positions=None,
+              auxiliary_embeddings=None):
+        if sequence_id is not None or positions is not None:
+            raise ValueError(
+                "the pp trunk forward does not take packed inputs "
+                "(sequence_id/positions) — train with data.pack_len=0")
+        return esm3_pp_forward(
+            net, trunk_params, mesh, n_microbatches,
+            structure_tokens=structure_tokens,
+            sequence_tokens=sequence_tokens, lengths=lengths,
+            auxiliary_embeddings=auxiliary_embeddings, data_axis=data_axis)
+
+    return apply
+
+
 def esm3_pp_forward(net, params, mesh: Mesh, n_microbatches: int, *,
                     structure_tokens=None, sequence_tokens=None,
                     lengths=None, auxiliary_embeddings=None,
-                    axis_name: str = STAGE_AXIS):
+                    axis_name: str = STAGE_AXIS,
+                    data_axis: str | None = None):
     """ESM3 trunk forward with the scanned stack pipelined over ``mesh``.
 
     Front end (track defaults, token tying, embedding sum) and back end
@@ -247,7 +385,8 @@ def esm3_pp_forward(net, params, mesh: Mesh, n_microbatches: int, *,
     x = pipeline_stack(block_fn, tp["blocks"], x, mesh=mesh,
                        n_microbatches=n_microbatches,
                        bcast=(rot_cos, rot_sin), per_example=(lengths,),
-                       n_valid=n_valid, axis_name=axis_name)
+                       n_valid=n_valid, axis_name=axis_name,
+                       data_axis=data_axis)
 
     pre_norm = x
     x = LayerNorm().apply({"params": tp["norm"]}, x)

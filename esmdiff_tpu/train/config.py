@@ -114,6 +114,9 @@ class TrainerConfig:
     # ddp.yaml = ddp, deepspeed.yaml stage 2 = zero2; fsdp = ZeRO-3,
     # params+moments sharded — the 1.4B fine-tune memory envelope)
     strategy: str = "zero2"
+    # GPipe microbatch count for the pp strategies (0 = auto: smallest
+    # divisor of the per-data-slice batch >= the stage count)
+    pp_microbatches: int = 0
     # experiment-tracking backend: csv (built-in) | tensorboard | wandb
     # (reference configs/logger/, train.yaml:10)
     logger: str = "csv"

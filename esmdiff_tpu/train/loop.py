@@ -141,7 +141,8 @@ def _jlm_loss(model):
     return loss_fn
 
 
-def build_task(cfg: TrainConfig, emb_dim: Optional[int] = None):
+def build_task(cfg: TrainConfig, emb_dim: Optional[int] = None,
+               trunk_apply_factory=None):
     """task_name -> (loss_fn(params, batch, key, training), init_fn(key)).
 
     The reference trains three heads from the same harness
@@ -149,11 +150,15 @@ def build_task(cfg: TrainConfig, emb_dim: Optional[int] = None):
     configs/experiment/*.yaml); here the task switch selects the model
     builder, its init, and its loss.  CLM/JLM consume the precomputed
     per-residue ESM3 embeddings from cli/dump.py --with_embeddings.
+    ``trunk_apply_factory(net)`` optionally overrides the MDLM trunk
+    forward (the pp strategies route it through parallel/pp.py).
     """
     task = cfg.task_name
     D = emb_dim if emb_dim is not None else C.ESM3_D_MODEL
     if task == "mdlm":
         mdlm = build_mdlm(cfg)
+        if trunk_apply_factory is not None:
+            mdlm.trunk_apply = trunk_apply_factory(mdlm.net)
         S = data_mod.resolve_pack_segments(cfg.data)
 
         def mdlm_loss(p, b, k, training=True):
@@ -252,19 +257,43 @@ def train(cfg: TrainConfig) -> dict:
                 f"dump — regenerate with cli/dump.py --with_embeddings")
         emb_dim = int(probe["embeddings"].shape[-1])
 
-    loss_fn_t, init_fn = build_task(cfg, emb_dim=emb_dim)
-    params = init_fn()
-    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
-    print(f"[model] task={cfg.task_name} {n_params/1e6:.1f}M params")
-
-    optimizer = tstate.make_optimizer(
-        lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
-        warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
-
+    from esmdiff_tpu.parallel import pp as pp_mod
     from esmdiff_tpu.parallel import tp as tp_mod
 
+    pp_shape = pp_mod.parse_pp_strategy(cfg.trainer.strategy)
     tp_shape = tp_mod.parse_tp_strategy(cfg.trainer.strategy)
-    if tp_shape is not None:
+    trunk_apply_factory = None
+    pp_stage = pp_n_valid = None
+    if pp_shape is not None:
+        # trainer.strategy=ppS|dpNxppS: GPipe stage sharding of the scanned
+        # block stack (parallel/pp.py) — each device stores n_layers/S
+        # blocks, activations hand off over ICI ppermute; each data slice
+        # runs its own pipeline and gradients all-reduce over ``data``
+        if cfg.task_name != "mdlm":
+            raise ValueError("pp strategies support task_name=mdlm only")
+        if cfg.data.pack_len > 0:
+            raise ValueError(
+                "pp strategies are incompatible with data.pack_len "
+                "(packed rows carry sequence_id, which the GPipe trunk "
+                "forward does not take) — set data.pack_len=0")
+        n_data, pp_stage = pp_shape
+        if cfg.data.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by "
+                f"dp={n_data} in strategy {cfg.trainer.strategy!r}")
+        local_b = cfg.data.batch_size // n_data
+        pp_micro = cfg.trainer.pp_microbatches or pp_mod.auto_microbatches(
+            local_b, pp_stage)
+        if local_b % pp_micro != 0:
+            raise ValueError(
+                f"per-data-slice batch {local_b} not divisible by "
+                f"pp_microbatches={pp_micro}")
+        mesh = pp_mod.make_pp_mesh(n_data, pp_stage)
+        trunk_apply_factory = lambda net: pp_mod.mdlm_pp_trunk_apply(  # noqa: E731
+            net, mesh, pp_micro)
+        print(f"[mesh] 2-D dp{n_data} x pp{pp_stage} "
+              f"({pp_micro} microbatches), strategy={cfg.trainer.strategy}")
+    elif tp_shape is not None:
         # trainer.strategy=dpNxtpM: 2-D (data, model) mesh — Megatron-style
         # tensor parallelism from pure GSPMD annotations (parallel/tp.py),
         # the production envelope for fp32 reference-parity fine-tuning
@@ -281,6 +310,22 @@ def train(cfg: TrainConfig) -> dict:
         mesh = pmesh.make_data_mesh_for_batch(cfg.data.batch_size)
         print(f"[mesh] data axis over {mesh.devices.size} device(s), "
               f"strategy={cfg.trainer.strategy}")
+
+    loss_fn_t, init_fn = build_task(cfg, emb_dim=emb_dim,
+                                    trunk_apply_factory=trunk_apply_factory)
+    params = init_fn()
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+    print(f"[model] task={cfg.task_name} {n_params/1e6:.1f}M params")
+    if pp_shape is not None:
+        # stage-sharded storage needs the blocks row count to divide the
+        # stage count; pad rows are inert (zero grads, zero weight decay)
+        # and are stripped again at checkpoint time so ckpts stay
+        # strategy-portable (sampling/ddp load them unchanged)
+        params, pp_n_valid = pp_mod.pad_tree_blocks(params, pp_stage)
+
+    optimizer = tstate.make_optimizer(
+        lr=cfg.optim.lr, weight_decay=cfg.optim.weight_decay,
+        warmup_steps=cfg.optim.warmup_steps, grad_clip=cfg.optim.grad_clip)
     state = tstate.create_sharded_train_state(
         params, optimizer, mesh, strategy=cfg.trainer.strategy)
 
@@ -304,8 +349,22 @@ def train(cfg: TrainConfig) -> dict:
             config={"n_params": int(n_params), **_dc.asdict(cfg.trainer)}))
     key = jax.random.PRNGKey(cfg.seed)
 
+    def _portable(s):
+        """Checkpoint layout: pp pads the blocks stack for stage-sharded
+        storage; strip the pad rows so saved ckpts keep the plain layout
+        every other strategy (and the sampling CLIs) load unchanged."""
+        if pp_shape is None:
+            return s
+        return pp_mod.unpad_tree_blocks(jax.device_get(s), pp_n_valid)
+
     if cfg.trainer.resume:
-        state = ckpt.restore(cfg.trainer.resume, state)
+        if pp_shape is not None:
+            restored = ckpt.restore(cfg.trainer.resume, _portable(state))
+            restored, _ = pp_mod.pad_tree_blocks(restored, pp_stage)
+            state = jax.device_put(
+                restored, jax.tree.map(lambda x: x.sharding, state))
+        else:
+            state = ckpt.restore(cfg.trainer.resume, state)
         print(f"[resume] from {cfg.trainer.resume} at step "
               f"{int(jax.device_get(state.step))}")
 
@@ -391,7 +450,8 @@ def train(cfg: TrainConfig) -> dict:
             if val_loss < best_val:
                 best_val = val_loss
                 epochs_no_improve = 0
-                ckpt.save(state, step=global_step, metric=val_loss)
+                ckpt.save(_portable(state), step=global_step,
+                          metric=val_loss)
             else:
                 epochs_no_improve += 1
                 if epochs_no_improve >= cfg.trainer.early_stopping_patience:

@@ -85,8 +85,19 @@ def state_shardings(state: TrainState, mesh: Mesh,
             params=fsdp.fsdp_shardings(state.params, mesh),
             opt_state=fsdp.fsdp_shardings(state.opt_state, mesh),
         )
-    from esmdiff_tpu.parallel import tp
+    from esmdiff_tpu.parallel import pp, tp
 
+    if pp.parse_pp_strategy(strategy) is not None:
+        # pipeline stages: the scanned block stack (and its optimizer
+        # moments) sharded on ``stage``; everything else replicated, with
+        # ZeRO-2 moments on ``data`` — the mesh must be the 2-D one from
+        # pp.make_pp_mesh and the blocks rows pre-padded (pad_tree_blocks)
+        return TrainState(
+            step=pmesh.replicated(mesh),
+            params=pp.pp_shardings_for_tree(state.params, mesh),
+            opt_state=pp.pp_shardings_for_tree(state.opt_state, mesh,
+                                               zero_data=True),
+        )
     if tp.parse_tp_strategy(strategy) is not None:
         # 2-D (data, model): Megatron-style TP param shardings + ZeRO-2
         # moments on data for the non-TP leaves (the fp32 reference-parity
@@ -99,7 +110,8 @@ def state_shardings(state: TrainState, mesh: Mesh,
                                                zero_data=True),
         )
     raise ValueError(
-        f"unknown strategy: {strategy!r} (ddp | zero2 | fsdp | dpNxtpM)")
+        f"unknown strategy: {strategy!r} "
+        f"(ddp | zero2 | fsdp | dpNxtpM | ppS | dpNxppS)")
 
 
 def create_sharded_train_state(params, optimizer, mesh: Mesh,
