@@ -113,10 +113,19 @@ def main(argv=None):
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all visible devices "
                         "(1-D data mesh; batch must divide device count)")
+    p.add_argument("--augment", action="store_true",
+                   help="train-batch crop/jitter/rotation augmentation "
+                        "(VQAugmentConfig defaults) — the anti-memorization "
+                        "lever for small corpora")
+    p.add_argument("--aug_crop", type=float, default=0.5,
+                   help="P(random contiguous crop) per structure")
+    p.add_argument("--aug_crop_min", type=int, default=32)
+    p.add_argument("--aug_jitter", type=float, default=0.05,
+                   help="Gaussian coordinate noise stddev, Å")
     args = p.parse_args(argv)
 
-    from esmdiff_tpu.train.vqvae import (VQLossConfig, export_vqvae,
-                                         train_vqvae)
+    from esmdiff_tpu.train.vqvae import (VQAugmentConfig, VQLossConfig,
+                                         export_vqvae, train_vqvae)
 
     enc_cfg, dec_cfg = _geometry(args.scale)
     coords, lengths, names = load_corpus(Path(args.input), args.max_len)
@@ -134,7 +143,10 @@ def main(argv=None):
         batch=args.batch, lr=args.lr,
         loss_cfg=VQLossConfig(beta=args.beta, recon=args.recon),
         seed=args.seed, restart_every=args.restart_every, val_idx=val_idx,
-        data_parallel=args.data_parallel)
+        data_parallel=args.data_parallel,
+        augment=VQAugmentConfig(
+            crop=args.aug_crop, crop_min=args.aug_crop_min,
+            jitter=args.aug_jitter) if args.augment else None)
     out = Path(args.output)
     export_vqvae(out, enc_cfg, dec_cfg, res.params)
     summary = {

@@ -197,6 +197,56 @@ class VQLossConfig:
     recon: str = "drmsd"        # drmsd | kabsch
 
 
+@dataclasses.dataclass(frozen=True)
+class VQAugmentConfig:
+    """Train-batch augmentation for small corpora.  A few hundred chains is
+    tiny next to the PDB the reference tokenizer inherits; the round-4
+    chip-scale joint run memorized its 224-structure corpus (train drmsd
+    0.43, val ~200).  Crops turn every structure into O(L^2) distinct
+    training windows; jitter and random rotations regularize the encoder's
+    geometric features.  Applied host-side to training batches only."""
+
+    crop: float = 0.5           # P(random contiguous crop) per structure
+    crop_min: int = 32          # minimum crop length (residues)
+    jitter: float = 0.05        # Gaussian coord noise, Å (0 = off)
+    rotate: bool = True         # random global rotation per structure
+
+
+def augment_batch(c: np.ndarray, lens: np.ndarray, aug: VQAugmentConfig,
+                  rs: np.random.RandomState):
+    """Host-side train-batch augmentation.  c: (B, Lp, 3, 3) NaN-padded;
+    returns modified copies with static shapes preserved (crops re-pad with
+    NaN, so the finite-coordinate mask and lengths stay consistent)."""
+    c = np.array(c, np.float32, copy=True)
+    lens = np.array(lens, np.int32, copy=True)
+    for i in range(c.shape[0]):
+        L = int(lens[i])
+        if aug.crop > 0 and L > aug.crop_min and rs.rand() < aug.crop:
+            cl = int(rs.randint(aug.crop_min, L + 1))
+            off = int(rs.randint(0, L - cl + 1))
+            seg = c[i, off:off + cl].copy()
+            c[i] = np.nan
+            c[i, :cl] = seg
+            lens[i] = cl
+        if aug.rotate:
+            # uniform random rotation (normalized-quaternion method)
+            q = rs.randn(4).astype(np.float32)
+            q /= np.linalg.norm(q)
+            w, x, y, z = q
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x),
+                 1 - 2 * (x * x + y * y)]], np.float32)
+            c[i] = c[i] @ R.T
+        if aug.jitter > 0:
+            c[i] = c[i] + (rs.randn(*c[i].shape).astype(np.float32)
+                           * aug.jitter)
+    return c, lens
+
+
 def vqvae_loss(out, aux, coords_clean, coord_mask, lengths,
                cfg: VQLossConfig):
     """-> (total, metrics dict).  coords_clean: NaN->0 coords (B, Lp, 3, 3);
@@ -307,6 +357,7 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
                 seed: int = 0, restart_every: int = 500,
                 val_idx: Optional[np.ndarray] = None,
                 data_parallel: bool = False,
+                augment: Optional[VQAugmentConfig] = None,
                 log_every: int = 500, log=print) -> VQVAETrainResult:
     """Joint VQ-VAE training on a coordinate corpus.
 
@@ -317,6 +368,9 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     1-D ``data`` mesh (params replicated; XLA inserts the gradient
     all-reduce from the sharding annotations).  ``batch`` must divide by the
     device count.
+
+    augment: train-batch crop/jitter/rotation augmentation
+    (:class:`VQAugmentConfig`); validation batches are never augmented.
     """
     import optax
 
@@ -340,12 +394,15 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
         batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
         replicated = NamedSharding(mesh, PartitionSpec())
 
-    def gather(idx):
+    def gather(idx, train: bool = False):
         c = coords[idx]
+        lens = lengths[idx]
+        if train and augment is not None:
+            c, lens = augment_batch(c, lens, augment, rs)
         arrs = (jnp.asarray(c), jnp.asarray(np.nan_to_num(c, nan=0.0)),
                 jnp.asarray(np.isfinite(c).all(-1).all(-1)
                             .astype(np.float32)),
-                jnp.asarray(lengths[idx]))
+                jnp.asarray(lens))
         if batch_sharding is not None:
             arrs = tuple(jax.device_put(a, batch_sharding) for a in arrs)
         return arrs
@@ -394,7 +451,8 @@ def train_vqvae(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     tr_idx = np.arange(N) if val_idx is None else \
         np.setdiff1d(np.arange(N), val_idx)
     for it in range(steps):
-        c_nan, c_clean, cmask, lens = gather(rs.choice(tr_idx, batch))
+        c_nan, c_clean, cmask, lens = gather(rs.choice(tr_idx, batch),
+                                             train=True)
         params, opt_state, total, m, z, valid = step(
             params, opt_state, c_nan, c_clean, cmask, lens)
         usage_window += np.asarray(m["usage"], np.int64)

@@ -304,8 +304,8 @@ def stage_train_vqvae(args):
 
     from esmdiff_tpu.models.vqvae import (StructureTokenDecoder,
                                           StructureTokenEncoder)
-    from esmdiff_tpu.train.vqvae import (VQLossConfig, export_vqvae,
-                                         train_vqvae)
+    from esmdiff_tpu.train.vqvae import (VQAugmentConfig, VQLossConfig,
+                                         export_vqvae, train_vqvae)
 
     root = out_root(args)
     z = np.load(root / "corpus.npz", allow_pickle=True)
@@ -321,7 +321,8 @@ def stage_train_vqvae(args):
     res = train_vqvae(
         ecfg, dcfg, bbs, lens, steps=args.steps, batch=args.batch,
         lr=args.lr, loss_cfg=VQLossConfig(recon=args.dec_loss),
-        seed=SEED, val_idx=val_idx, log_every=500)
+        seed=SEED, val_idx=val_idx, log_every=500,
+        augment=VQAugmentConfig() if args.aug else None)
     print(f"[vqvae] trained in {time.time() - t0:.0f}s, "
           f"{res.n_live_codes}/{ecfg.n_codes} live codes")
     export_vqvae(root / "vqvae", ecfg, dcfg, res.params)
@@ -702,6 +703,9 @@ def main(argv=None):
                    help="eval targets per family for sample/analyze")
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--aug", action="store_true",
+                   help="crop/jitter/rotation augmentation for train_vqvae "
+                        "(train/vqvae.VQAugmentConfig defaults)")
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8"],
                    help="sampling quantization for full_eval (int8 parity "

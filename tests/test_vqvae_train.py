@@ -181,3 +181,47 @@ def test_restart_noop_when_all_live():
     new, n = restart_dead_codes(params, np.array([1, 2, 3, 4]),
                                 rs.randn(8, 2).astype(np.float32), rs)
     assert n == 0 and new is params
+
+
+def test_augment_batch_invariants():
+    """Crops preserve static shapes and shrink lens consistently with the
+    NaN mask; rotation preserves pairwise CA distances; jitter perturbs."""
+    from esmdiff_tpu.train.vqvae import VQAugmentConfig, augment_batch
+
+    coords, lengths = _toy_corpus(n=8, lp=24, seed=1)
+    rs = np.random.RandomState(0)
+    aug = VQAugmentConfig(crop=1.0, crop_min=8, jitter=0.0, rotate=False)
+    c2, l2 = augment_batch(coords, lengths, aug, rs)
+    assert c2.shape == coords.shape and l2.shape == lengths.shape
+    assert (l2 <= lengths).all() and (l2 >= 8).all()
+    for i in range(8):
+        finite = np.isfinite(c2[i]).all(-1).all(-1)
+        assert finite[:l2[i]].all() and not finite[l2[i]:].any()
+
+    aug_rot = VQAugmentConfig(crop=0.0, jitter=0.0, rotate=True)
+    c3, l3 = augment_batch(coords, lengths, aug_rot, np.random.RandomState(2))
+    np.testing.assert_array_equal(l3, lengths)
+    i, L = 0, int(lengths[0])
+    d_orig = np.linalg.norm(
+        coords[i, :L, 1, None] - coords[i, None, :L, 1], axis=-1)
+    d_rot = np.linalg.norm(
+        c3[i, :L, 1, None] - c3[i, None, :L, 1], axis=-1)
+    np.testing.assert_allclose(d_rot, d_orig, atol=1e-3)
+    assert not np.allclose(c3[i, :L], coords[i, :L])  # actually rotated
+
+    aug_j = VQAugmentConfig(crop=0.0, jitter=0.1, rotate=False)
+    c4, _ = augment_batch(coords, lengths, aug_j, np.random.RandomState(3))
+    delta = c4[0, :L] - coords[0, :L]
+    assert 0.01 < np.abs(delta).mean() < 0.5
+
+
+def test_train_vqvae_with_augmentation_runs():
+    from esmdiff_tpu.train.vqvae import VQAugmentConfig
+
+    coords, lengths = _toy_corpus(n=12, lp=24, seed=2)
+    res = train_vqvae(
+        ENC_CFG, DEC_CFG, coords, lengths, steps=8, batch=4, lr=1e-3,
+        restart_every=0, log_every=1000, log=None,
+        val_idx=np.asarray([0, 1]),
+        augment=VQAugmentConfig(crop=0.8, crop_min=8, jitter=0.05))
+    assert np.isfinite(res.losses).all()
