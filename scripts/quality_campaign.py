@@ -592,6 +592,12 @@ def _analyze_samples(samples_root: Path, report_path: Path):
                     "tm_div": round(float(tm_diversity(pred_ca)), 4),
                     "clash_validity": float(
                         metrics.validity({"pred": pred_ca})["pred"]),
+                    # bonded neighbors excluded: ground truth scores 1.0
+                    # here where the reference default counts cis-peptides
+                    # as clashes (tests/test_eval.py calibration)
+                    "clash_validity_x1": float(
+                        metrics.validity({"pred": pred_ca},
+                                         k_exclusion=1)["pred"]),
                     "bond_validity": float(
                         metrics.bonding_validity(d)["pred"]),
                 }
@@ -612,6 +618,8 @@ def _analyze_samples(samples_root: Path, report_path: Path):
                     [r["tm_div"] for r in fr])), 4),
                 "clash_validity_mean": round(float(np.mean(
                     [r["clash_validity"] for r in fr])), 4),
+                "clash_validity_x1_mean": round(float(np.mean(
+                    [r["clash_validity_x1"] for r in fr])), 4),
                 "bond_validity_mean": round(float(np.mean(
                     [r["bond_validity"] for r in fr])), 4),
             }

