@@ -104,6 +104,10 @@ def get_argparser():
                    help="Directory for a jax.profiler trace of the sampling "
                         "phase (TPU-equivalent of the reference's Lightning "
                         "profiler, configs/debug/profiler.yaml).")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="Skip targets whose output PDB already exists — "
+                        "makes long sweeps (full_eval: 282 targets) "
+                        "resumable after an interruption.")
     return p
 
 
@@ -144,6 +148,9 @@ def main(argv=None):
         profile_cm = jax.profiler.trace(args.profile)
         profile_cm.__enter__()
     for path in targets:
+        if args.skip_existing and (output_dir / f"{path.stem}.pdb").exists():
+            print(f"[{path.stem}] exists, skipped (--skip_existing)")
+            continue
         prot = ESMProtein.from_pdb(path)
         seq = prot.sequence
         t0 = time.time()

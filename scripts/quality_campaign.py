@@ -679,6 +679,7 @@ def stage_full_eval(args):
             "--num_samples", str(args.num_samples),
             "--ckpt", str(root / "mdlm_run" / "ckpt"),
             "--vqvae_ckpt", str(root / "vqvae"),
+            "--skip_existing",  # the 282-target sweep is resumable
         ]
         if args.quant != "none":
             argv += ["--quant", args.quant]
