@@ -480,6 +480,7 @@ def stage_sample(args):
             "--num_samples", str(args.num_samples),
             "--ckpt", str(root / "mdlm_run" / "ckpt"),
             "--vqvae_ckpt", str(root / "vqvae"),
+            "--skip_existing",  # resumable after a tunnel/driver restart
         ]
         print(f"[sample] esmdiff-sample {' '.join(argv)}", flush=True)
         sample_main(argv)
