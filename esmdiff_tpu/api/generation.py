@@ -50,17 +50,30 @@ def plan_batches(length_with_specials: int, num_samples: int,
                  budget: int = N_MAX_RESIDUE_SQUARE,
                  max_batch: Optional[int] = None,
                  granularity: int = 1,
-                 batch_bucket: int = 32) -> list[int]:
+                 batch_bucket: int = 32,
+                 policy: str = "ladder") -> list[int]:
     """Split num_samples into batches with L^2 * B <= budget
     (reference sample_esmdiff.py:104-112,181-193).
 
     Batch sizes are drawn from the power-of-two bucket ladder (>= 8, mesh
     ``granularity``-aligned, capped by the memory budget) so XLA compiles one
     program per bucket — and those buckets are SHARED across targets/requests,
-    so the compile cost amortizes corpus-wide.  The ladder is walked greedily
-    downward (100 -> 64+32+8 = 104, not a single 128), bounding
-    over-generation by the smallest bucket instead of up to bucket-1 wasted
-    full-trunk samples; callers trim the surplus.
+    so the compile cost amortizes corpus-wide.
+
+    Two policies trade surplus device work against program count:
+
+    - ``"ladder"`` walks the ladder greedily downward (100 -> 64+32+8 = 104,
+      not a single 128), bounding over-generation by the smallest bucket.
+      Right when the shapes are already warm (serving, bench steady state).
+    - ``"single"`` uses ONE ladder size for every batch (50 -> [64],
+      100 -> [64, 64]), so a request compiles/loads exactly one program per
+      L-bucket.  Right for corpus sweeps: on this runtime each extra program
+      costs ~10-30 s of compile or persistent-cache retrieval over the
+      tunnel (PERF.md gotcha #8) while the surplus rows cost well under a
+      second of device time.  Row RNG keys are per-sample, so both policies
+      emit bit-identical ensembles for a given seed.
+
+    Callers trim the surplus rows in either policy.
     """
     per = max(1, budget // (length_with_specials * length_with_specials))
     if max_batch is not None:
@@ -76,6 +89,16 @@ def plan_batches(length_with_specials: int, num_samples: int,
 
     def cap(v: int) -> int:
         return min(v, max(per, g))  # memory budget always wins
+
+    if policy == "single":
+        # pow2 FLOOR of n: total surplus rows match the roundup choice
+        # (pow2 arithmetic) while the smaller B is a more canonical bucket,
+        # shared across targets with differing sample counts
+        b = 1 << max(1, num_samples).bit_length() - 1
+        b = cap(max(min_b, (b // g) * g))
+        return [b] * (-(-num_samples // b))
+    if policy != "ladder":
+        raise ValueError(f"unknown plan policy: {policy!r}")
 
     sizes = []
     left = num_samples
@@ -116,12 +139,19 @@ class EnsembleSampler:
     def __init__(self, runtime: ESM3Runtime,
                  noise: Optional[Noise] = None,
                  mdlm_cfg: MDLMConfig = MDLMConfig(),
-                 mesh=None):
+                 mesh=None,
+                 plan_policy: str = "ladder"):
         """mesh: optional jax Mesh with a 'data' axis — the sample batch is
         sharded across it (params replicated), so an ensemble generates in
         parallel across chips (the TPU analogue of the reference's
-        single-GPU micro-batching loop)."""
+        single-GPU micro-batching loop).
+
+        plan_policy: batch planning for every ensemble call — "ladder"
+        (minimum surplus rows; right for warm serving) or "single" (one
+        program per L-bucket; right for corpus sweeps — see plan_batches).
+        Both emit bit-identical ensembles for a given seed."""
         self.runtime = runtime
+        self.plan_policy = plan_policy
         self.noise = noise or LogLinearNoise()
         self.mdlm_cfg = mdlm_cfg
         self.mesh = mesh
@@ -330,7 +360,8 @@ class EnsembleSampler:
                     prior_row[idx + off] = C.STRUCTURE_MASK_TOKEN
 
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
-                             granularity=self._n_shards())
+                             granularity=self._n_shards(),
+                             policy=self.plan_policy)
         row_keys = request_row_keys(seed, num_samples)
         outs = []
         start = 0
@@ -397,7 +428,8 @@ class EnsembleSampler:
             r += c
 
         sizes = plan_batches(max(lws), N, budget, max_batch,
-                             granularity=self._n_shards())
+                             granularity=self._n_shards(),
+                             policy=self.plan_policy)
         outs = []
         start = 0
         for B in sizes:
@@ -496,7 +528,8 @@ class EnsembleSampler:
                 decode_row[1:Lw - 1] = ~known
 
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
-                             granularity=self._n_shards())
+                             granularity=self._n_shards(),
+                             policy=self.plan_policy)
         row_keys = request_row_keys(seed, num_samples)
         outs = []
         start = 0
@@ -551,7 +584,8 @@ class EnsembleSampler:
             r += c
 
         sizes = plan_batches(max(lws), N, budget, max_batch,
-                             granularity=self._n_shards())
+                             granularity=self._n_shards(),
+                             policy=self.plan_policy)
         outs = []
         start = 0
         for B in sizes:
@@ -594,7 +628,8 @@ class EnsembleSampler:
         decode_row[1:Lw - 1] = True
 
         sizes = plan_batches(Lw, num_samples, budget, max_batch,
-                             granularity=self._n_shards())
+                             granularity=self._n_shards(),
+                             policy=self.plan_policy)
         row_keys = request_row_keys(seed, num_samples)
         outs = []
         start = 0

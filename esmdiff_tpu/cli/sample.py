@@ -108,6 +108,13 @@ def get_argparser():
                    help="Skip targets whose output PDB already exists — "
                         "makes long sweeps (full_eval: 282 targets) "
                         "resumable after an interruption.")
+    p.add_argument("--plan", type=str, default="single",
+                   choices=["single", "ladder"],
+                   help="Batch planning: 'single' compiles ONE program per "
+                        "length bucket (sweep default — each extra program "
+                        "costs ~10-30s compile/cache-load on this runtime); "
+                        "'ladder' minimizes surplus rows (right when shapes "
+                        "are warm).  Same seed -> identical ensembles.")
     return p
 
 
@@ -130,7 +137,7 @@ def main(argv=None):
 
         mesh = pmesh.make_mesh()
         print(f"[mesh] sampling across {mesh.devices.size} device(s)")
-    sampler = EnsembleSampler(runtime, mesh=mesh)
+    sampler = EnsembleSampler(runtime, mesh=mesh, plan_policy=args.plan)
     mask_ids = (
         [int(i) for i in args.mask_ids.split(",")] if args.mask_ids else None
     )

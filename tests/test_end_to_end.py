@@ -58,6 +58,42 @@ def test_plan_batches():
     assert all(s % 8 == 0 for s in plan_batches(60, 10, granularity=8))
 
 
+def test_plan_batches_single_policy():
+    # ONE program per length bucket: every batch the same ladder size
+    assert plan_batches(60, 50, policy="single") == [32, 32]
+    assert plan_batches(60, 100, policy="single") == [64, 64]
+    assert plan_batches(60, 12, policy="single") == [8, 8]
+    assert plan_batches(60, 5, policy="single") == [8]
+    assert plan_batches(60, 128, policy="single") == [128]
+    # same total rows as the pow2-roundup alternative, smaller B
+    assert sum(plan_batches(60, 100, policy="single")) == 128
+    # memory budget still wins for long proteins (same cap as ladder)
+    long_sizes = plan_batches(1000, 100, policy="single")
+    assert len(set(long_sizes)) == 1 and sum(long_sizes) >= 100
+    assert long_sizes[0] <= 4
+    # granularity respected
+    assert all(s % 8 == 0
+               for s in plan_batches(60, 10, granularity=8, policy="single"))
+    for n in (1, 7, 10, 33, 100, 127, 129, 500):
+        sizes = plan_batches(60, n, policy="single")
+        assert len(set(sizes)) == 1  # single compiled shape
+        assert sum(sizes) >= n
+    with pytest.raises(ValueError):
+        plan_batches(60, 10, policy="zigzag")
+
+
+def test_plan_policy_emits_identical_ensembles(tiny_runtime):
+    # Row RNG keys are per-sample, so batch grouping cannot change any
+    # sample's draws: 'single' ([16]) and 'ladder' ([8, 8]) must emit
+    # bit-identical ensembles for the same seed.
+    seq = "MKTAYIAKQR"
+    a = EnsembleSampler(tiny_runtime, plan_policy="ladder").ddpm_ensemble(
+        seq, 9, num_steps=2, seed=7)
+    b = EnsembleSampler(tiny_runtime, plan_policy="single").ddpm_ensemble(
+        seq, 9, num_steps=2, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_encode_bpti(tiny_runtime):
     prot = ESMProtein.from_pdb(BPTI)
     pt = tiny_runtime.encode(prot)
