@@ -678,23 +678,37 @@ class EnsembleSampler:
                               decode_batch: int = 32,
                               ) -> list[list[ESMProtein]]:
         """Coalesced VQ decode: rows from several requests share device
-        batches (grouped by exact token length — decode programs are
-        shape-keyed), so small concurrent requests stop paying per-request
-        decode dispatches."""
+        batches (grouped by LENGTH BUCKET — rows are padded to the bucket
+        and pad is masked out of decoder attention), so small concurrent
+        requests stop paying per-request decode dispatches and different
+        chain lengths within a bucket share one compiled program."""
         from esmdiff_tpu.core.tokenizer import StructureTokenizer
 
         results: list[list] = [[None] * t.shape[0] for t in tokens_list]
-        by_len: dict[int, list] = {}
+        by_bucket: dict[int, list] = {}
         for i, (seq, toks) in enumerate(zip(sequences, tokens_list)):
             for j in range(toks.shape[0]):
                 row = StructureTokenizer.add_bos_eos(toks[j].astype(np.int32))
-                by_len.setdefault(len(row), []).append((i, j, row, seq))
-        for rows in by_len.values():
+                by_bucket.setdefault(bucket_length(len(row)), []).append(
+                    (i, j, row, seq))
+        for Lpad, rows in by_bucket.items():
             for s in range(0, len(rows), decode_batch):
                 chunk = rows[s:s + decode_batch]
-                prots = self.runtime.decode_batch(
-                    np.stack([r[2] for r in chunk]),
-                    [r[3] for r in chunk])
+                n = len(chunk)
+                # fixed (decode_batch, Lpad) program shape: pad the final
+                # partial chunk with repeated rows, trimmed below
+                toks_pad = np.full((decode_batch, Lpad),
+                                   C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+                lens = np.full((decode_batch,), len(chunk[-1][2]), np.int32)
+                seqs = [chunk[-1][3]] * decode_batch
+                for r, (_, _, row, seq) in enumerate(chunk):
+                    toks_pad[r, :len(row)] = row
+                    lens[r] = len(row)
+                    seqs[r] = seq
+                for r in range(n, decode_batch):
+                    toks_pad[r] = toks_pad[n - 1]
+                prots = self.runtime.decode_batch(toks_pad, seqs,
+                                                  lengths=lens)[:n]
                 for (i, j, _, _), p in zip(chunk, prots):
                     results[i][j] = p
         return results
@@ -704,16 +718,29 @@ def decode_tokens_to_proteins(runtime: ESM3Runtime, sequence: str,
                               tokens: np.ndarray,
                               decode_batch: int = 32) -> list[ESMProtein]:
     """Batched VQ-VAE decode of (N, L) interior tokens (one device call per
-    chunk — the reference decodes per sample, sample_esmdiff.py:225-230)."""
+    chunk — the reference decodes per sample, sample_esmdiff.py:225-230).
+
+    Both decode dims are bucketed so one compiled decode program serves a
+    whole corpus sweep: rows are padded to the 32-multiple length bucket
+    (pad masked out of attention via ``lengths``) and the final partial
+    chunk is padded up to ``decode_batch`` with repeated rows (trimmed)."""
     from esmdiff_tpu.core.tokenizer import StructureTokenizer
 
     N = tokens.shape[0]
-    wrapped = np.stack([
-        StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
-        for i in range(N)
-    ])
+    rows = [StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
+            for i in range(N)]
+    Lw = len(rows[0])
+    Lpad = bucket_length(Lw)
+    wrapped = np.full((N, Lpad), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
+    wrapped[:, :Lw] = np.stack(rows)
     prots: list[ESMProtein] = []
     for s in range(0, N, decode_batch):
         chunk = wrapped[s:s + decode_batch]
-        prots.extend(runtime.decode_batch(chunk, [sequence] * len(chunk)))
+        n = chunk.shape[0]
+        if n < decode_batch:  # keep the (decode_batch, Lpad) program shape
+            chunk = np.concatenate(
+                [chunk, np.tile(chunk[-1:], (decode_batch - n, 1))])
+        prots.extend(runtime.decode_batch(
+            chunk, [sequence] * decode_batch,
+            lengths=np.full((decode_batch,), Lw, np.int32))[:n])
     return prots

@@ -142,8 +142,8 @@ class ESM3Runtime:
         self._jit_encode = jax.jit(
             lambda p, bb: self.encoder.apply(p, bb))
         self._jit_decode = jax.jit(
-            lambda p, t, pack=1: self.decoder.apply(
-                p, t, compute_ptm=False, pack=pack),
+            lambda p, t, pack=1, lengths=None: self.decoder.apply(
+                p, t, compute_ptm=False, pack=pack, lengths=lengths),
             static_argnames=("pack",))
 
     # -- construction ---------------------------------------------------------
@@ -270,22 +270,29 @@ class ESM3Runtime:
         pred = self.decode(pt)
         return prot.coordinates, pred.coordinates
 
-    def decode_batch(self, structure_tokens, sequences) -> list[ESMProtein]:
+    def decode_batch(self, structure_tokens, sequences,
+                     lengths=None) -> list[ESMProtein]:
         """Batched VQ-VAE decode — the reference decodes per sample in a
         Python loop (sample_esmdiff.py:225-230); here one batched device call.
 
         structure_tokens: (N, L+2) with BOS/EOS; sequences: list of N strings.
+        lengths: optional (N,) valid row lengths INCLUDING BOS/EOS — rows may
+        be padded past their length (L-bucketed decode programs shared across
+        targets); pad positions are masked out of decoder attention and
+        stripped from the outputs.
         """
         from esmdiff_tpu.ops.packing import pack_factor
 
         toks = jnp.asarray(structure_tokens)
+        lens = None if lengths is None else jnp.asarray(lengths, jnp.int32)
         out = self._jit_decode(
             {"params": self.decoder_params}, toks,
-            pack=pack_factor(toks.shape[0], toks.shape[1]))
-        bb = np.asarray(out["bb_pred"])[:, 1:-1]  # strip BOS/EOS
+            pack=pack_factor(toks.shape[0], toks.shape[1]),
+            lengths=lens)
+        bb = np.asarray(out["bb_pred"])[:, 1:]  # strip BOS (EOS per row below)
         prots = []
         for i, seq in enumerate(sequences):
-            p = protein_io.from_backbone(bb[i], sequence=seq)
+            p = protein_io.from_backbone(bb[i, :len(seq)], sequence=seq)
             coords = p.atom_positions.copy()
             coords[p.atom_mask < 0.5] = np.nan
             prots.append(ESMProtein(sequence=seq, coordinates=coords))

@@ -236,7 +236,7 @@ class StructureTokenDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, structure_tokens, compute_ptm: bool = True,
-                 pack: int = 1, inputs_embeds=None):
+                 pack: int = 1, inputs_embeds=None, lengths=None):
         """(B, L) int tokens -> dict(bb_pred (B, L, 3, 3), plddt (B, L),
         ptm (B,)).
 
@@ -250,6 +250,13 @@ class StructureTokenDecoder(nn.Module):
         encoder.  In that mode the ``embed`` table is never created; the
         trainer materializes it (codebook @ bridge kernel + special rows) at
         export so the saved checkpoint is this standard layout.
+
+        lengths: optional (B,) int32 valid prefix lengths — positions past a
+        row's length are masked OUT of attention (segment mask), so decoding
+        L-bucket-padded rows computes the same function for the valid prefix
+        as an exact-length program.  This is what lets decode share one
+        compiled program across targets of different chain lengths instead
+        of minting a (B, L_exact) executable per target.
         """
         cfg = self.cfg
         if inputs_embeds is not None:
@@ -260,21 +267,24 @@ class StructureTokenDecoder(nn.Module):
                 dtype=jnp.dtype(cfg.dtype),
                 param_dtype=jnp.float32, name="embed",
             )(structure_tokens)
-        if pack > 1:
+        if pack > 1 or lengths is not None:
             # Sequence-packed stack execution (ops/packing.py): k rows share
             # one device row under a block-diagonal segment mask with
             # per-segment rotary positions.  The unpacked decoder attends
             # unmasked over each full row, and a packed segment attends
             # exactly its own full segment — the same key sets — so this is
             # the same function (bitwise on CPU; tests/test_packing.py).
-            # Heads (incl. the pairwise pTM) always see the unpacked shape.
+            # With ``lengths``, pad positions carry a shared -1 id, excluding
+            # them from every valid token's key set (k=1 = plain prefix
+            # masking).  Heads (incl. the pairwise pTM) always see the
+            # unpacked shape.
             from esmdiff_tpu.ops.packing import (
                 packed_positions, packed_segment_ids)
 
             B, L, D = x.shape
             x, _ = TransformerStack(cfg.stack_config(), name="decoder_stack")(
                 x.reshape(B // pack, pack * L, D),
-                sequence_id=packed_segment_ids(None, L, pack),
+                sequence_id=packed_segment_ids(lengths, L, pack),
                 positions=packed_positions(L, pack),
             )
             x = x.reshape(B, L, D)

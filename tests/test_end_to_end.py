@@ -119,6 +119,50 @@ def test_ddpm_end_to_end(tiny_runtime, tmp_path):
     assert loaded[0].sequence == prot.sequence
 
 
+def test_bucketed_decode_matches_exact(tiny_runtime):
+    # decode_tokens_to_proteins pads rows to the 32-multiple L-bucket and the
+    # batch to decode_batch so one program serves every target of a sweep;
+    # pad is masked out of decoder attention, so valid-prefix coordinates
+    # must match the exact-shape decode.
+    from esmdiff_tpu.api.generation import decode_tokens_to_proteins
+    from esmdiff_tpu.core.tokenizer import StructureTokenizer
+
+    rng = np.random.RandomState(0)
+    seq = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ"  # 33 residues -> bucket 64
+    tokens = rng.randint(0, 4096, size=(5, len(seq))).astype(np.int32)
+
+    exact_rows = np.stack([StructureTokenizer.add_bos_eos(t)
+                           for t in tokens])
+    exact = tiny_runtime.decode_batch(exact_rows, [seq] * 5)
+    bucketed = decode_tokens_to_proteins(tiny_runtime, seq, tokens)
+    assert len(bucketed) == 5
+    for pe, pb in zip(exact, bucketed):
+        np.testing.assert_allclose(
+            np.nan_to_num(pb.coordinates), np.nan_to_num(pe.coordinates),
+            atol=2e-3, rtol=1e-4)
+
+
+def test_coalesced_decode_buckets_mixed_lengths(tiny_runtime):
+    # rows of DIFFERENT chain lengths share one bucketed decode program;
+    # each row must still decode as if alone at its exact shape
+    from esmdiff_tpu.core.tokenizer import StructureTokenizer
+
+    rng = np.random.RandomState(1)
+    seq_a, seq_b = "MKTAYIAKQR", "MKTAYIAKQRQISFVKSHFSR"
+    ta = rng.randint(0, 4096, size=(2, len(seq_a))).astype(np.int32)
+    tb = rng.randint(0, 4096, size=(3, len(seq_b))).astype(np.int32)
+    s = EnsembleSampler(tiny_runtime)
+    multi = s.decode_ensemble_multi([seq_a, seq_b], [ta, tb])
+    assert [len(m) for m in multi] == [2, 3]
+    for seq, toks, prots in ((seq_a, ta, multi[0]), (seq_b, tb, multi[1])):
+        rows = np.stack([StructureTokenizer.add_bos_eos(t) for t in toks])
+        exact = tiny_runtime.decode_batch(rows, [seq] * len(toks))
+        for pe, pb in zip(exact, prots):
+            np.testing.assert_allclose(
+                np.nan_to_num(pb.coordinates), np.nan_to_num(pe.coordinates),
+                atol=2e-3, rtol=1e-4)
+
+
 def test_ddpm_inpainting_end_to_end(tiny_runtime):
     prot = ESMProtein.from_pdb(BPTI)
     pt = tiny_runtime.encode(prot)
