@@ -112,7 +112,7 @@ def warm_buckets(fns: dict, params) -> float:
     return time.time() - t0
 
 
-def run_bucket(fn, params, num_steps, n_timed=3):
+def run_bucket(fn, params, n_timed=3):
     """Steady-state wall seconds for one warmed sampling bucket."""
     import jax
 
@@ -219,7 +219,7 @@ def main():
             B = sizes[0]
             fn = make_bucket_fn(mdlm, row, B, L, args.steps)
             first = warm_buckets({B: fn}, params)
-            best, p50 = run_bucket(fn, params, args.steps)
+            best, p50 = run_bucket(fn, params)
             flops = _sample_flops(cfg, B, L, args.steps)
             print(json.dumps({
                 "metric": f"conf/sec/chip (L={L}, B={B}, "
@@ -270,7 +270,7 @@ def main():
     total = 0.0
     for B in sizes:
         if B not in bucket_times:
-            bucket_times[B] = run_bucket(fns[B], params, args.steps)
+            bucket_times[B] = run_bucket(fns[B], params)
         total += bucket_times[B][0]
 
     conf_per_sec = args.samples / total  # effective: REQUESTED samples

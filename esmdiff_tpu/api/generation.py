@@ -65,9 +65,9 @@ def plan_batches(length_with_specials: int, num_samples: int,
     - ``"ladder"`` walks the ladder greedily downward (100 -> 64+32+8 = 104,
       not a single 128), bounding over-generation by the smallest bucket.
       Right when the shapes are already warm (serving, bench steady state).
-    - ``"single"`` uses ONE ladder size for every batch (50 -> [64],
-      100 -> [64, 64]), so a request compiles/loads exactly one program per
-      L-bucket.  Right for corpus sweeps: on this runtime each extra program
+    - ``"single"`` uses ONE ladder size for every batch (50 -> [32, 32],
+      100 -> [64, 64] — pow2 FLOOR of the request), so a request
+      compiles/loads exactly one program per L-bucket.  Right for corpus sweeps: on this runtime each extra program
       costs ~10-30 s of compile or persistent-cache retrieval over the
       tunnel (PERF.md gotcha #8) while the surplus rows cost well under a
       second of device time.  Row RNG keys are per-sample, so both policies

@@ -50,8 +50,13 @@ def build_runtime(args) -> ESM3Runtime:
 def get_argparser():
     p = argparse.ArgumentParser(
         description="Sample protein conformation ensembles (TPU-native).")
-    p.add_argument("--input", type=str, default="data/targets/bpti",
-                   help="Directory of target .pdb files.")
+    p.add_argument("--input", type=str, nargs="+",
+                   default=["data/targets/bpti"],
+                   help="Directories of target .pdb files.  With more than "
+                        "one directory, each target's output lands in "
+                        "<output>/<input dirname>/ and the whole sweep "
+                        "shares ONE runtime + jit cache (a corpus-wide "
+                        "sweep compiles each (B, L) bucket exactly once).")
     p.add_argument("--ckpt", type=str, default=None,
                    help="Checkpoint (orbax dir or converted .pt). None = "
                         "random weights (dev only).")
@@ -122,8 +127,11 @@ def main(argv=None):
     args = get_argparser().parse_args(argv)
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
     _enable_cache()
-    data_path = Path(args.input)
-    assert data_path.is_dir(), f"--input must be a directory: {data_path}"
+    data_paths = [Path(p) for p in (
+        args.input if isinstance(args.input, list) else [args.input])]
+    for dp in data_paths:
+        assert dp.is_dir(), f"--input must be a directory: {dp}"
+    multi_input = len(data_paths) > 1
     output_dir = Path(args.output)
     output_dir.mkdir(parents=True, exist_ok=True)
 
@@ -146,7 +154,20 @@ def main(argv=None):
         if args.filled_ids else None
     )
 
-    targets = sorted(p for p in data_path.iterdir() if p.suffix == ".pdb")
+    targets = []
+    for dp in data_paths:
+        sub = output_dir / dp.name if multi_input else output_dir
+        sub.mkdir(parents=True, exist_ok=True)
+        targets += [(p, sub) for p in sorted(dp.iterdir())
+                    if p.suffix == ".pdb"]
+    # resumed sweeps (--skip_existing) merge into the prior timing report
+    # instead of overwriting it with only the newly sampled targets
+    timings_path = output_dir / "timings.json"
+    prior: dict[str, dict] = {}
+    if args.skip_existing and timings_path.exists():
+        for r in json.loads(timings_path.read_text()):
+            r.setdefault("key", r["target"])  # pre-round-4 format
+            prior[r["key"]] = r
     report = []
     profile_cm = None
     if args.profile:
@@ -154,9 +175,11 @@ def main(argv=None):
 
         profile_cm = jax.profiler.trace(args.profile)
         profile_cm.__enter__()
-    for path in targets:
-        if args.skip_existing and (output_dir / f"{path.stem}.pdb").exists():
-            print(f"[{path.stem}] exists, skipped (--skip_existing)")
+    for path, out_dir_t in targets:
+        key = (f"{out_dir_t.name}/{path.stem}" if multi_input
+               else path.stem)
+        if args.skip_existing and (out_dir_t / f"{path.stem}.pdb").exists():
+            print(f"[{key}] exists, skipped (--skip_existing)")
             continue
         prot = ESMProtein.from_pdb(path)
         seq = prot.sequence
@@ -195,21 +218,24 @@ def main(argv=None):
         prots = sampler.decode_ensemble(seq, tokens)
         t_total = time.time() - t0
 
-        out_file = output_dir / f"{path.stem}.pdb"
+        out_file = out_dir_t / f"{path.stem}.pdb"
         protein_io.ensemble_to_pdb_file(
             [p.to_protein() for p in prots], out_file)
-        print(f"[{path.stem}] {args.num_samples} samples x "
+        print(f"[{key}] {args.num_samples} samples x "
               f"{args.num_steps} steps: tokens {t_tokens:.2f}s, "
               f"total {t_total:.2f}s -> {out_file}")
         report.append({
-            "target": path.stem, "L": len(seq),
+            "target": path.stem, "key": key, "L": len(seq),
             "num_samples": args.num_samples,
             "sampling_sec": t_tokens, "total_sec": t_total,
         })
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
         print(f"[profile] trace written to {args.profile}")
-    (output_dir / "timings.json").write_text(json.dumps(report, indent=2))
+    prior.update({r["key"]: r for r in report})
+    timings_path.write_text(
+        json.dumps(sorted(prior.values(), key=lambda r: r["key"]),
+                   indent=2))
 
 
 if __name__ == "__main__":

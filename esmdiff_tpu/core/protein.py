@@ -401,7 +401,13 @@ def ensemble_to_pdb(prots: Sequence[Protein], chain_id: str = "A") -> str:
 def ensemble_to_pdb_file(
     prots: Sequence[Protein], path: str | Path, chain_id: str = "A"
 ) -> None:
-    Path(path).write_text(ensemble_to_pdb(prots, chain_id))
+    """Atomic write (temp file + rename): resumable sweeps treat an
+    existing output as complete (``--skip_existing``), so a file killed
+    mid-write must never be left behind under the final name."""
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(ensemble_to_pdb(prots, chain_id))
+    os.replace(tmp, path)
 
 
 def merge_pdb_files(paths: Iterable[str | Path], out_path: str | Path) -> None:

@@ -671,25 +671,27 @@ def stage_full_eval(args):
     out = root / "full_eval"
     t0 = _time.time()
     walls = {}
-    for fam in FAMILIES:
-        n_fam = len(list((TARGETS_ROOT / fam).glob("*.pdb")))
-        out_dir = out / "samples" / fam
-        argv = [
-            "--input", str(TARGETS_ROOT / fam), "--output", str(out_dir),
-            "--mode", "ddpm", "--num_steps", str(args.num_steps),
-            "--num_samples", str(args.num_samples),
-            "--ckpt", str(root / "mdlm_run" / "ckpt"),
-            "--vqvae_ckpt", str(root / "vqvae"),
-            "--skip_existing",  # the 282-target sweep is resumable
-        ]
-        if args.quant != "none":
-            argv += ["--quant", args.quant]
-        t_fam = _time.time()
-        print(f"[full_eval] {fam}: {n_fam} targets x {args.num_samples} "
-              f"samples — esmdiff-sample {' '.join(argv)}", flush=True)
-        sample_main(argv)
-        walls[fam] = round(_time.time() - t_fam, 1)
-        print(f"[full_eval] {fam} done in {walls[fam]}s", flush=True)
+    n_all = sum(len(list((TARGETS_ROOT / fam).glob("*.pdb")))
+                for fam in FAMILIES)
+    # ONE sample_main call over all four family dirs: one runtime, one jit
+    # cache — each (B, L) bucket compiles exactly once for the whole sweep
+    # (multi --input writes each family to <output>/<family>/)
+    argv = [
+        "--input", *[str(TARGETS_ROOT / fam) for fam in FAMILIES],
+        "--output", str(out / "samples"),
+        "--mode", "ddpm", "--num_steps", str(args.num_steps),
+        "--num_samples", str(args.num_samples),
+        "--ckpt", str(root / "mdlm_run" / "ckpt"),
+        "--vqvae_ckpt", str(root / "vqvae"),
+        "--skip_existing",  # the 282-target sweep is resumable
+    ]
+    if args.quant != "none":
+        argv += ["--quant", args.quant]
+    print(f"[full_eval] {n_all} targets x {args.num_samples} "
+          f"samples — esmdiff-sample {' '.join(argv)}", flush=True)
+    sample_main(argv)
+    walls["sample"] = round(_time.time() - t0, 1)
+    print(f"[full_eval] sampling done in {walls['sample']}s", flush=True)
     _analyze_samples(out / "samples", out / "report.json")
     walls["total"] = round(_time.time() - t0, 1)
     (out / "wall.json").write_text(json.dumps(walls, indent=2))

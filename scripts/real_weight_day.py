@@ -243,7 +243,10 @@ def _bpti_seq() -> str:
 def stage_bench(args, runtime) -> None:
     if not args.fixture:
         # the real thing: canonical 25-step x 100-sample BPTI line
-        subprocess.run([sys.executable, "bench.py"], check=True)
+        subprocess.run(
+            [sys.executable,
+             str(Path(__file__).resolve().parent.parent / "bench.py")],
+            check=True)
         return
     # fixture: tiny inline throughput probe through the same engine
     from esmdiff_tpu.api.generation import EnsembleSampler

@@ -225,3 +225,44 @@ def test_train_vqvae_with_augmentation_runs():
         val_idx=np.asarray([0, 1]),
         augment=VQAugmentConfig(crop=0.8, crop_min=8, jitter=0.05))
     assert np.isfinite(res.losses).all()
+
+
+def test_cli_multi_input_sweep_resumes(tmp_path):
+    """Multi --input dirs: one process sweeps several family dirs (outputs
+    land in <output>/<family>/), and a resumed --skip_existing run MERGES
+    timings.json instead of overwriting it (round-4 full_eval path)."""
+    import json
+
+    from esmdiff_tpu.cli.sample import main as sample_main
+    from esmdiff_tpu.core import protein as protein_io
+
+    fams = []
+    for fam, n in (("famA", 2), ("famB", 1)):
+        d = tmp_path / fam
+        d.mkdir()
+        coords, lengths = _toy_corpus(n=2, lp=20)
+        for i in range(n):
+            L = int(lengths[i])
+            prot = protein_io.from_backbone(coords[i, :L], "A" * L)
+            (d / f"{fam}_t{i}.pdb").write_text(protein_io.to_pdb(prot))
+        fams.append(d)
+    out = tmp_path / "out"
+    args = ["--input", str(fams[0]), str(fams[1]), "--output", str(out),
+            "--mode", "ddpm", "--num_steps", "2", "--num_samples", "1",
+            "--model_scale", "tiny", "--skip_existing"]
+    sample_main(args)
+    assert (out / "famA" / "famA_t0.pdb").exists()
+    assert (out / "famB" / "famB_t0.pdb").exists()
+    rows = json.loads((out / "timings.json").read_text())
+    assert sorted(r["key"] for r in rows) == [
+        "famA/famA_t0", "famA/famA_t1", "famB/famB_t0"]
+
+    # drop one output + the report rows for the others; the resumed run
+    # samples only the missing target and merges the prior rows back in
+    (out / "famB" / "famB_t0.pdb").unlink()
+    (out / "timings.json").write_text(json.dumps(
+        [r for r in rows if r["key"] != "famB/famB_t0"]))
+    sample_main(args)
+    rows2 = json.loads((out / "timings.json").read_text())
+    assert sorted(r["key"] for r in rows2) == [
+        "famA/famA_t0", "famA/famA_t1", "famB/famB_t0"]
