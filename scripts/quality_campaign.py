@@ -59,11 +59,18 @@ def encoder_cfg():
                          d_out=64, knn=16)
 
 
-def decoder_cfg():
+def decoder_cfg(args=None):
+    """Decoder geometry.  Defaults to the mid-scale d768/12L; the round-4
+    capacity experiment (PERF.md: at 224 train chains the d768/12L decoder
+    memorizes — train-val recon gap 5.9 Å vs the round-3e d256/6L hedge's
+    2.1 Å) overrides it via --dec_d_model/--dec_n_layers/--dec_n_heads."""
     from esmdiff_tpu.models.vqvae import DecoderConfig
 
-    return DecoderConfig(d_model=768, n_heads=12, n_layers=12,
-                         dtype="bfloat16", predict_ptm=False, remat=True)
+    return DecoderConfig(
+        d_model=getattr(args, "dec_d_model", None) or 768,
+        n_heads=getattr(args, "dec_n_heads", None) or 12,
+        n_layers=getattr(args, "dec_n_layers", None) or 12,
+        dtype="bfloat16", predict_ptm=False, remat=True)
 
 
 MDLM_OVERRIDES = [
@@ -141,21 +148,21 @@ def stage_prepare(args):
     # persist the frozen encoder now; the decoder joins after training
     from esmdiff_tpu.convert.checkpoints import save_vqvae
 
-    save_vqvae(root / "vqvae", ecfg, enc_params, decoder_cfg(),
-               _decoder_init())
+    save_vqvae(root / "vqvae", ecfg, enc_params, decoder_cfg(args),
+               _decoder_init(args))
     n_distinct = len(np.unique(
         np.concatenate([tokens[i, :l] for i, l in enumerate(lens)])))
     print(f"[prepare] {n_distinct} distinct codes in use "
           f"-> {root / 'corpus.npz'}")
 
 
-def _decoder_init():
+def _decoder_init(args=None):
     import jax
     import jax.numpy as jnp
 
     from esmdiff_tpu.models.vqvae import StructureTokenDecoder
 
-    dec = StructureTokenDecoder(decoder_cfg())
+    dec = StructureTokenDecoder(decoder_cfg(args))
     return jax.jit(lambda k: dec.init(k, jnp.zeros((1, 16), jnp.int32)))(
         jax.random.PRNGKey(SEED + 1))["params"]
 
@@ -182,7 +189,7 @@ def stage_train_decoder(args):
     perm = rs.permutation(N)
     val_idx, tr_idx = perm[:n_val], perm[n_val:]
 
-    dcfg = decoder_cfg()
+    dcfg = decoder_cfg(args)
     dec = StructureTokenDecoder(dcfg)
     ecfg, enc_params, _, dec_params = load_vqvae(root / "vqvae")
 
@@ -316,7 +323,7 @@ def stage_train_vqvae(args):
     perm = rs.permutation(N)
     val_idx, tr_idx = perm[:n_val], perm[n_val:]
 
-    ecfg, dcfg = encoder_cfg(), decoder_cfg()
+    ecfg, dcfg = encoder_cfg(), decoder_cfg(args)
     t0 = time.time()
     res = train_vqvae(
         ecfg, dcfg, bbs, lens, steps=args.steps, batch=args.batch,
@@ -715,6 +722,15 @@ def main(argv=None):
                    help="eval targets per family for sample/analyze")
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--num_steps", type=int, default=25)
+    p.add_argument("--dec_d_model", type=int, default=None,
+                   help="decoder width override (default 768) — the round-4 "
+                        "capacity experiment: smaller decoders memorize "
+                        "less at 224 train chains (PERF.md)")
+    p.add_argument("--dec_n_layers", type=int, default=None,
+                   help="decoder depth override (default 12)")
+    p.add_argument("--dec_n_heads", type=int, default=None,
+                   help="decoder head-count override (default 12; must "
+                        "divide --dec_d_model)")
     p.add_argument("--aug", action="store_true",
                    help="crop/jitter/rotation augmentation for train_vqvae "
                         "(train/vqvae.VQAugmentConfig defaults)")
