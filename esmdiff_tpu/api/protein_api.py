@@ -133,9 +133,15 @@ class ESM3Runtime:
         self.trunk = trunk
         self.trunk_params = trunk_params
         self.encoder = encoder
-        self.encoder_params = encoder_params
+        # Commit the VQ-VAE param trees to device ONCE.  Checkpoint loaders
+        # hand back host numpy trees, and jit re-uploads host arguments on
+        # EVERY call — for the campaign decoder (~360 MB f32) that was
+        # 17-27 s per decode_batch over the tunneled runtime, dwarfing the
+        # actual forward.  device_put is a no-op for already-committed
+        # (incl. sharded) arrays, so mesh/test paths are unchanged.
+        self.encoder_params = jax.device_put(encoder_params)
         self.decoder = decoder
-        self.decoder_params = decoder_params
+        self.decoder_params = jax.device_put(decoder_params)
         self.sigma_embedder = sigma_embedder
         self.sigma_params = sigma_params
         self.seq_tokenizer = SequenceTokenizer()
@@ -283,17 +289,30 @@ class ESM3Runtime:
         """
         from esmdiff_tpu.ops.packing import pack_factor
 
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("ESMDIFF_DECODE_TIMING")
+        t0 = _time.time()
         toks = jnp.asarray(structure_tokens)
         lens = None if lengths is None else jnp.asarray(lengths, jnp.int32)
         out = self._jit_decode(
             {"params": self.decoder_params}, toks,
             pack=pack_factor(toks.shape[0], toks.shape[1]),
             lengths=lens)
+        if timing:
+            out = jax.block_until_ready(out)
+            t1 = _time.time()
         bb = np.asarray(out["bb_pred"])[:, 1:]  # strip BOS (EOS per row below)
+        t2 = _time.time()
         prots = []
         for i, seq in enumerate(sequences):
             p = protein_io.from_backbone(bb[i, :len(seq)], sequence=seq)
             coords = p.atom_positions.copy()
             coords[p.atom_mask < 0.5] = np.nan
             prots.append(ESMProtein(sequence=seq, coordinates=coords))
+        if timing:
+            print(f"[decode_batch] shape={tuple(toks.shape)} "
+                  f"device={t1 - t0:.2f}s fetch={t2 - t1:.2f}s "
+                  f"host={_time.time() - t2:.2f}s", flush=True)
         return prots
