@@ -209,6 +209,7 @@ def main():
         import numpy as np
 
         rng = np.random.RandomState(0)
+        precompiled = []
         for L in (64, 128, 256, 512, 1024):
             if args.only_L is not None and L != args.only_L:
                 continue
@@ -219,6 +220,10 @@ def main():
             B = sizes[0]
             fn = make_bucket_fn(mdlm, row, B, L, args.steps)
             first = warm_buckets({B: fn}, params)
+            if args.precompile:  # populate the cache only — no timing sweep
+                precompiled.append({"B": B, "L": L, "steps": args.steps,
+                                    "warmup_wall_s": round(first, 1)})
+                continue
             best, p50 = run_bucket(fn, params)
             flops = _sample_flops(cfg, B, L, args.steps)
             print(json.dumps({
@@ -240,6 +245,12 @@ def main():
                     "device": device,
                 },
             }), flush=True)
+        if args.precompile:
+            print(json.dumps({
+                "precompiled_buckets": precompiled,
+                "compile_cache": cache_events.snapshot(),
+                "cache_dir": str(jax.config.jax_compilation_cache_dir),
+            }))
         return
 
     prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")

@@ -71,7 +71,9 @@ def plan_batches(length_with_specials: int, num_samples: int,
       costs ~10-30 s of compile or persistent-cache retrieval over the
       tunnel (PERF.md gotcha #8) while the surplus rows cost well under a
       second of device time.  Row RNG keys are per-sample, so both policies
-      emit bit-identical ensembles for a given seed.
+      draw identical randomness for a given seed; sampled tokens agree up
+      to trunk fp reduction order, which can differ between the policies'
+      compiled batch shapes (see :func:`request_row_keys`).
 
     Callers trim the surplus rows in either policy.
     """
@@ -124,9 +126,14 @@ def request_row_keys(seed: int, count: int) -> np.ndarray:
     Row j's key is ``fold_in(PRNGKey(seed), j)`` — a pure function of the
     OWNING request's seed and the row's index within that request.  The
     samplers draw all randomness for a row from its key + the step index, so
-    a request's ensemble is bit-identical whether it runs alone or coalesced
-    into a shared serving batch with arbitrary co-batched traffic
-    (cli/serve.py; VERDICT round-3 weak #2)."""
+    a request's Gumbel/noise draws are bit-identical whether it runs alone
+    or coalesced into a shared serving batch with arbitrary co-batched
+    traffic (cli/serve.py; VERDICT round-3 weak #2).  One caveat: the
+    coalesced batch may compile a different (B, pack) shape than the solo
+    run, and XLA's fp reduction order can differ across shapes — sampled
+    tokens are identical up to last-ulp trunk logit ties (the same caveat
+    as :meth:`MDLM.ddpm_sample` across batch plans).  Re-running the SAME
+    traffic mix is always bit-reproducible."""
     base = jax.random.PRNGKey(int(seed))
     return np.asarray(
         jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(count)))
@@ -149,7 +156,8 @@ class EnsembleSampler:
         plan_policy: batch planning for every ensemble call — "ladder"
         (minimum surplus rows; right for warm serving) or "single" (one
         program per L-bucket; right for corpus sweeps — see plan_batches).
-        Both emit bit-identical ensembles for a given seed."""
+        Both draw identical per-row randomness for a given seed (identical
+        ensembles up to trunk fp reduction order across batch shapes)."""
         self.runtime = runtime
         self.plan_policy = plan_policy
         self.noise = noise or LogLinearNoise()
@@ -412,9 +420,10 @@ class EnsembleSampler:
 
         seeds: one PRNG seed PER REQUEST (defaults to ``seed + i``).  Row
         keys derive from the owning request's seed + row index
-        (:func:`request_row_keys`), so each request's ensemble is
-        bit-identical to a solo run with the same seed regardless of
-        co-batched traffic."""
+        (:func:`request_row_keys`), so each request's randomness is
+        independent of co-batched traffic; its ensemble matches a solo run
+        with the same seed up to trunk fp reduction order across the two
+        batch shapes (see request_row_keys)."""
         seq_rows, lws, Lpad = self._multi_rows(sequences, counts)
         N = seq_rows.shape[0]
         if seeds is None:
@@ -694,24 +703,34 @@ class EnsembleSampler:
         for Lpad, rows in by_bucket.items():
             for s in range(0, len(rows), decode_batch):
                 chunk = rows[s:s + decode_batch]
-                n = len(chunk)
-                # fixed (decode_batch, Lpad) program shape: pad the final
-                # partial chunk with repeated rows, trimmed below
-                toks_pad = np.full((decode_batch, Lpad),
-                                   C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
-                lens = np.full((decode_batch,), len(chunk[-1][2]), np.int32)
-                seqs = [chunk[-1][3]] * decode_batch
-                for r, (_, _, row, seq) in enumerate(chunk):
-                    toks_pad[r, :len(row)] = row
-                    lens[r] = len(row)
-                    seqs[r] = seq
-                for r in range(n, decode_batch):
-                    toks_pad[r] = toks_pad[n - 1]
-                prots = self.runtime.decode_batch(toks_pad, seqs,
-                                                  lengths=lens)[:n]
+                prots = _decode_padded_chunk(
+                    self.runtime, [r[2] for r in chunk],
+                    [r[3] for r in chunk], Lpad, decode_batch)
                 for (i, j, _, _), p in zip(chunk, prots):
                     results[i][j] = p
         return results
+
+
+def _decode_padded_chunk(runtime: ESM3Runtime, rows: list, seqs: list,
+                         Lpad: int, decode_batch: int) -> list[ESMProtein]:
+    """Decode ≤``decode_batch`` token rows at the fixed (decode_batch, Lpad)
+    program shape shared by every decode in a sweep: each row pads to Lpad
+    with STRUCTURE_PAD_TOKEN (masked out of decoder attention via
+    ``lengths``), surplus rows repeat the last real row, and the output is
+    trimmed back to the real row count.  Single home for the pad/fill/trim
+    semantics used by both the single-sequence and the coalesced decode."""
+    n = len(rows)
+    toks_pad = np.full((decode_batch, Lpad), C.STRUCTURE_PAD_TOKEN,
+                       dtype=np.int32)
+    lens = np.zeros((decode_batch,), np.int32)
+    seqs_pad = list(seqs) + [seqs[-1]] * (decode_batch - n)
+    for r, row in enumerate(rows):
+        toks_pad[r, :len(row)] = row
+        lens[r] = len(row)
+    for r in range(n, decode_batch):
+        toks_pad[r] = toks_pad[n - 1]
+        lens[r] = lens[n - 1]
+    return runtime.decode_batch(toks_pad, seqs_pad, lengths=lens)[:n]
 
 
 def decode_tokens_to_proteins(runtime: ESM3Runtime, sequence: str,
@@ -729,18 +748,10 @@ def decode_tokens_to_proteins(runtime: ESM3Runtime, sequence: str,
     N = tokens.shape[0]
     rows = [StructureTokenizer.add_bos_eos(tokens[i].astype(np.int32))
             for i in range(N)]
-    Lw = len(rows[0])
-    Lpad = bucket_length(Lw)
-    wrapped = np.full((N, Lpad), C.STRUCTURE_PAD_TOKEN, dtype=np.int32)
-    wrapped[:, :Lw] = np.stack(rows)
+    Lpad = bucket_length(len(rows[0]))
     prots: list[ESMProtein] = []
     for s in range(0, N, decode_batch):
-        chunk = wrapped[s:s + decode_batch]
-        n = chunk.shape[0]
-        if n < decode_batch:  # keep the (decode_batch, Lpad) program shape
-            chunk = np.concatenate(
-                [chunk, np.tile(chunk[-1:], (decode_batch - n, 1))])
-        prots.extend(runtime.decode_batch(
-            chunk, [sequence] * decode_batch,
-            lengths=np.full((decode_batch,), Lw, np.int32))[:n])
+        chunk = rows[s:s + decode_batch]
+        prots.extend(_decode_padded_chunk(
+            runtime, chunk, [sequence] * len(chunk), Lpad, decode_batch))
     return prots

@@ -154,9 +154,17 @@ def main(argv=None):
         if args.filled_ids else None
     )
 
+    # distinct --input dirs sharing a basename (runA/targets, runB/targets)
+    # must not collide into one output subdir — disambiguate with an index
+    sub_names: dict[str, int] = {}
     targets = []
     for dp in data_paths:
-        sub = output_dir / dp.name if multi_input else output_dir
+        if multi_input:
+            n = sub_names.get(dp.name, 0)
+            sub_names[dp.name] = n + 1
+            sub = output_dir / (dp.name if n == 0 else f"{dp.name}.{n}")
+        else:
+            sub = output_dir
         sub.mkdir(parents=True, exist_ok=True)
         targets += [(p, sub) for p in sorted(dp.iterdir())
                     if p.suffix == ".pdb"]

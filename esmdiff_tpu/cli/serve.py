@@ -36,8 +36,10 @@ continuous-batching style, reusing the same warm per-bucket executables
 (the sampling programs take sequence tokens per row).  Coalescing is
 seed-deterministic: every sample row's PRNG keys derive from its OWNING
 request's seed + row index (api/generation.request_row_keys), so a
-request's ensemble is bit-identical with or without co-batched traffic
-(tests/test_serve.py).  ``--coalesce off`` merely disables batching.
+request's randomness is independent of co-batched traffic and its ensemble
+matches a solo run up to trunk fp reduction order across batch shapes
+(tests/test_serve.py; api/generation.request_row_keys for the caveat).
+``--coalesce off`` merely disables batching.
 """
 
 from __future__ import annotations

@@ -74,13 +74,21 @@ def main(argv=None):
         sampler.decode_ensemble(seq, toks)
         print(f"[decode] warm repeat {time.time() - t0:.2f}s", flush=True)
 
-    with jax.profiler.trace(args.trace_dir):
+    # a fresh per-run subdirectory so a reused --trace_dir can never hand us
+    # a stale xplane from an earlier geometry
+    run_dir = Path(args.trace_dir) / f"run_{os.getpid()}_{int(time.time())}"
+    with jax.profiler.trace(str(run_dir)):
         sampler.ddpm_ensemble(seq, args.n, num_steps=args.steps, seed=99)
 
     from jax.profiler import ProfileData
 
-    xplanes = sorted(Path(args.trace_dir).rglob("*.xplane.pb"),
+    xplanes = sorted(run_dir.rglob("*.xplane.pb"),
                      key=lambda q: q.stat().st_mtime)
+    if not xplanes:
+        raise SystemExit(
+            f"[profile] no .xplane.pb produced under {run_dir} — the "
+            "profiler wrote no device trace (CPU-only backend, or trace "
+            "write failure); timing numbers above are still valid")
     pd = ProfileData.from_file(str(xplanes[-1]))
     totals: dict[str, float] = {}
     n_events = 0

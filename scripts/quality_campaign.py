@@ -59,18 +59,34 @@ def encoder_cfg():
                          d_out=64, knn=16)
 
 
-def decoder_cfg(args=None):
+def decoder_cfg(args):
     """Decoder geometry.  Defaults to the mid-scale d768/12L; the round-4
     capacity experiment (PERF.md: at 224 train chains the d768/12L decoder
     memorizes — train-val recon gap 5.9 Å vs the round-3e d256/6L hedge's
-    2.1 Å) overrides it via --dec_d_model/--dec_n_layers/--dec_n_heads."""
+    2.1 Å) overrides it via --dec_d_model/--dec_n_layers/--dec_n_heads.
+    Plain attribute access (argparse always defines these) so a renamed
+    flag fails loudly instead of being swallowed by a getattr default."""
     from esmdiff_tpu.models.vqvae import DecoderConfig
 
     return DecoderConfig(
-        d_model=getattr(args, "dec_d_model", None) or 768,
-        n_heads=getattr(args, "dec_n_heads", None) or 12,
-        n_layers=getattr(args, "dec_n_layers", None) or 12,
+        d_model=args.dec_d_model or 768,
+        n_heads=args.dec_n_heads or 12,
+        n_layers=args.dec_n_layers or 12,
         dtype="bfloat16", predict_ptm=False, remat=True)
+
+
+def check_decoder_geometry(saved_dcfg, dcfg, stage):
+    """Saved-checkpoint params must match the requested decoder geometry —
+    otherwise flax apply fails with an opaque shape error deep in the run."""
+    mismatch = [(f, getattr(saved_dcfg, f), getattr(dcfg, f))
+                for f in ("d_model", "n_heads", "n_layers")
+                if getattr(saved_dcfg, f) != getattr(dcfg, f)]
+    if mismatch:
+        raise SystemExit(
+            f"[{stage}] decoder geometry overrides do not match the saved "
+            f"vqvae checkpoint: {['%s saved=%s requested=%s' % m for m in mismatch]}. "
+            "Re-run `prepare` with the same --dec_* overrides, or drop them "
+            "to use the checkpoint's geometry.")
 
 
 MDLM_OVERRIDES = [
@@ -191,7 +207,8 @@ def stage_train_decoder(args):
 
     dcfg = decoder_cfg(args)
     dec = StructureTokenDecoder(dcfg)
-    ecfg, enc_params, _, dec_params = load_vqvae(root / "vqvae")
+    ecfg, enc_params, saved_dcfg, dec_params = load_vqvae(root / "vqvae")
+    check_decoder_geometry(saved_dcfg, dcfg, "train_decoder")
 
     # tokens with specials, padded rows -> PAD token; bb NaN -> masked loss
     def with_specials(tok_row, L):
@@ -357,7 +374,8 @@ def stage_train_vqvae(args):
     dec = StructureTokenDecoder(dcfg)
     from esmdiff_tpu.convert.checkpoints import load_vqvae
 
-    _, _, _, dec_params = load_vqvae(root / "vqvae")
+    _, _, saved_dcfg, dec_params = load_vqvae(root / "vqvae")
+    check_decoder_geometry(saved_dcfg, dcfg, "train_vqvae")
 
     def with_specials(tok_row, L):
         t = np.full((PAD_L + 2,), C.STRUCTURE_PAD_TOKEN, np.int32)

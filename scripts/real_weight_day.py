@@ -325,8 +325,12 @@ def main(argv=None):
 
     if args.fixture:
         os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = [s for s in stages if s not in STAGES]
+    if unknown:  # fail BEFORE any stage runs, not minutes in with a KeyError
+        p.error(f"unknown stage(s) {unknown}; valid stages: "
+                f"{', '.join(STAGES)}")
     Path(args.workdir).mkdir(parents=True, exist_ok=True)
-    stages = args.stages.split(",")
     t0 = time.time()
     paths = stage_download(args)
     runtime = None

@@ -8,6 +8,7 @@ tests pin (a) optimization actually reduces reconstruction loss through the
 quantization bottleneck, (b) export parity, (c) dead-code restart mechanics.
 """
 
+import json
 import tempfile
 
 import jax.numpy as jnp
@@ -155,6 +156,33 @@ def test_cli_trains_and_sampler_loads(tmp_path):
                  "--mode", "ddpm", "--num_steps", "2", "--num_samples", "1",
                  "--model_scale", "tiny", "--vqvae_ckpt", str(ckpt)])
     assert (out / "c0.pdb").exists()
+
+
+def test_cli_multi_input_same_basename_no_collision(tmp_path):
+    """Two --input dirs sharing a basename (runA/targets, runB/targets) must
+    not collide into one output subdir: the second gets a disambiguated
+    `targets.1/` and both targets' ensembles are written (cli/sample.py)."""
+    from esmdiff_tpu.cli.sample import main as sample_main
+    from esmdiff_tpu.core import protein as protein_io
+
+    coords, lengths = _toy_corpus(n=2, lp=20)
+    dirs = []
+    for run in ("runA", "runB"):
+        d = tmp_path / run / "targets"
+        d.mkdir(parents=True)
+        L = int(lengths[0])
+        prot = protein_io.from_backbone(coords[0, :L], "A" * L)
+        (d / "c0.pdb").write_text(protein_io.to_pdb(prot))  # same stem
+        dirs.append(d)
+    out = tmp_path / "out"
+    sample_main(["--input", str(dirs[0]), str(dirs[1]), "--output", str(out),
+                 "--mode", "ddpm", "--num_steps", "2", "--num_samples", "1",
+                 "--model_scale", "tiny"])
+    assert (out / "targets" / "c0.pdb").exists()
+    assert (out / "targets.1" / "c0.pdb").exists()
+    report = json.loads((out / "timings.json").read_text())
+    keys = {r["key"] for r in report}
+    assert keys == {"targets/c0", "targets.1/c0"}
 
 
 def test_restart_dead_codes():
