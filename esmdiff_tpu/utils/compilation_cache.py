@@ -35,6 +35,7 @@ class CacheEventCounter:
 
     def __init__(self):
         self.counts: dict[str, int] = {}
+        self.durations: dict[str, float] = {}
         self._registered = False
 
     def install(self) -> "CacheEventCounter":
@@ -51,6 +52,8 @@ class CacheEventCounter:
                 if "cache" in event:
                     key = "dur:" + event
                     self.counts[key] = self.counts.get(key, 0) + 1
+                    self.durations[key] = (
+                        self.durations.get(key, 0.0) + float(duration))
 
             monitoring.register_event_listener(_on_event)
             # cache misses are recorded as durations (compile time) in jax
@@ -68,5 +71,12 @@ class CacheEventCounter:
         merged = {**dur, **base}  # event channel wins if both ever fire
         hits = sum(v for k, v in merged.items() if "hit" in k)
         misses = sum(v for k, v in merged.items() if "miss" in k)
+        # where the warmup wall actually went: seconds spent retrieving
+        # cached executables vs compile time the cache claims it saved
+        # (diagnoses retrieval-slower-than-recompile pathologies over the
+        # axon tunnel — PERF.md gotcha #8)
+        secs = {k[4:].rsplit("/", 1)[-1]: round(v, 1)
+                for k, v in self.durations.items()}
         return {"cache_hits": hits, "cache_misses": misses,
+                "seconds": secs,
                 "events": dict(self.counts), "listener": self._registered}
