@@ -25,6 +25,7 @@ converted weights).  NB: all-zero weights must NOT be used — this TPU
 runtime short-circuits them and reports fantasy timings (PERF.md gotchas).
 """
 
+from esmdiff_tpu.utils import fixtures as __fx
 import argparse
 import json
 import time
@@ -75,15 +76,21 @@ def build_sampler(quant: str = "none"):
 
 
 def make_bucket_fn(mdlm, seq_row, B, L, num_steps):
-    """Jitted (params, key) -> tokens sampler for one (B, L) bucket."""
+    """Jitted (params, key) -> tokens sampler for one (B, L) bucket.
+
+    The closed-over sequence row and prefix lengths stay HOST numpy: a
+    device array baked into a jitted program is fetched back (``._value``)
+    by the MLIR constant handler at lowering time, and the first d2h read
+    over the tunneled runtime costs 6-350 s (the round-4/5 cold-start
+    pathology — see utils/device.py and scripts/coldstart_diag.py phases).
+    Numpy constants embed with zero device traffic."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from esmdiff_tpu.ops.packing import pack_factor
 
-    seq = jnp.asarray(np.tile(seq_row[None], (B, 1)))
-    lengths = jnp.sum(seq != _pad_token(), axis=-1, dtype=jnp.int32)
+    seq = np.tile(seq_row[None], (B, 1)).astype(np.int32)
+    lengths = (seq != _pad_token()).sum(-1).astype(np.int32)
     pack = pack_factor(B, L)  # sequence packing for short buckets (PERF.md)
 
     @jax.jit
@@ -94,22 +101,38 @@ def make_bucket_fn(mdlm, seq_row, B, L, num_steps):
     return sample
 
 
-def warm_buckets(fns: dict, params) -> float:
-    """Compile/load every bucket executable CONCURRENTLY (VERDICT round-3
-    weak #1): compilation — and persistent-cache retrieval over the tunnel —
-    happens on the compile service, so the three bucket programs overlap
-    instead of paying the latency serially.  Returns the warmup wall."""
+def warm_buckets(fns: dict, params) -> tuple[float, dict]:
+    """Warm every bucket executable CONCURRENTLY, phase-decomposed.
+
+    Returns (wall seconds, breakdown): per-bucket trace+lower, compile-or-
+    cache-load, and first-execute seconds, so the bench JSON's first_call_s
+    has an accounting that sums to the wall (VERDICT round-4 weak #1).  The
+    AOT-compiled executables replace the jit dispatch path for the timing
+    sweep (same programs, no retrace)."""
     import concurrent.futures as cf
 
     import jax
 
+    def _warm(item):
+        B, fn = item
+        t0 = time.time()
+        lowered = fn.lower(params, jax.random.PRNGKey(0))
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        jax.block_until_ready(compiled(params, jax.random.PRNGKey(0)))
+        t3 = time.time()
+        return B, compiled, {"trace_lower_s": round(t1 - t0, 2),
+                             "compile_or_load_s": round(t2 - t1, 2),
+                             "first_exec_s": round(t3 - t2, 2)}
+
     t0 = time.time()
     with cf.ThreadPoolExecutor(max_workers=len(fns)) as ex:
-        list(ex.map(
-            lambda fn: jax.block_until_ready(
-                fn(params, jax.random.PRNGKey(0))),
-            fns.values()))
-    return time.time() - t0
+        results = list(ex.map(_warm, fns.items()))
+    wall = time.time() - t0
+    for B, compiled, _ in results:
+        fns[B] = compiled  # timing sweep runs the AOT executables
+    return wall, {str(B): phases for B, _, phases in results}
 
 
 def run_bucket(fn, params, n_timed=3):
@@ -201,6 +224,13 @@ def main():
     from esmdiff_tpu.api.generation import plan_batches
     from esmdiff_tpu.core.tokenizer import SequenceTokenizer
     from esmdiff_tpu.api.protein_api import ESMProtein
+    from esmdiff_tpu.utils.device import prime_transfers_async
+
+    # pay the one-time tunnel stream-setup cost on a background thread,
+    # overlapped with model build + warmup, instead of inside whatever phase
+    # first touches a device->host read (cold-start pathology: 6-350 s of
+    # variance — utils/device.py); joined before the timing sweep
+    prime_join, prime = prime_transfers_async()
 
     cfg, mdlm, params = build_sampler(quant=args.quant)
     device = str(jax.devices()[0])
@@ -218,13 +248,15 @@ def main():
             row = _seq_row(toks.astype(np.int32), L)
             sizes = plan_batches(L, args.samples, max_batch=128)
             B = sizes[0]
-            fn = make_bucket_fn(mdlm, row, B, L, args.steps)
-            first = warm_buckets({B: fn}, params)
+            fns_one = {B: make_bucket_fn(mdlm, row, B, L, args.steps)}
+            first, warm_phases = warm_buckets(fns_one, params)
             if args.precompile:  # populate the cache only — no timing sweep
                 precompiled.append({"B": B, "L": L, "steps": args.steps,
-                                    "warmup_wall_s": round(first, 1)})
+                                    "warmup_wall_s": round(first, 1),
+                                    "warmup_phases": warm_phases})
                 continue
-            best, p50 = run_bucket(fn, params)
+            prime_join()  # d2h stream must be warm before timed fetches
+            best, p50 = run_bucket(fns_one[B], params)
             flops = _sample_flops(cfg, B, L, args.steps)
             print(json.dumps({
                 "metric": f"conf/sec/chip (L={L}, B={B}, "
@@ -253,7 +285,7 @@ def main():
             }))
         return
 
-    prot = ESMProtein.from_pdb("/root/reference/data/targets/bpti/bpti.pdb")
+    prot = ESMProtein.from_pdb(str(__fx.bpti_pdb()))
     seq_tokens = SequenceTokenizer().encode(prot.sequence)
     Lw = len(seq_tokens)
     L = ((Lw + 63) // 64) * 64
@@ -267,12 +299,16 @@ def main():
     # warmup is retrieval/load only — cache_hits below says which
     fns = {B: make_bucket_fn(mdlm, row, B, L, args.steps)
            for B in dict.fromkeys(sizes)}
-    first_total = warm_buckets(fns, params)
+    first_total, warm_phases = warm_buckets(fns, params)
+    t_join = time.time()
+    prime_join()  # overlapped with build+warmup; residual = what remained
+    prime["overlap_residual_s"] = round(time.time() - t_join, 1)
     if args.precompile:
         print(json.dumps({
             "precompiled_buckets": [
                 {"B": B, "L": L, "steps": args.steps} for B in fns],
             "warmup_wall_s": round(first_total, 1),
+            "warmup_phases": warm_phases,
             "compile_cache": cache_events.snapshot(),
             "cache_dir": str(jax.config.jax_compilation_cache_dir),
         }))
@@ -314,6 +350,11 @@ def main():
                if args.quant == "int8" else {}),
             "quant": args.quant,
             "first_call_s": round(first_total, 1),
+            # accounting that sums to the warmup wall (VERDICT round-4 weak
+            # #1): concurrent per-bucket trace / compile-or-load / first-run
+            # phases, plus the one-time transfer primes paid at startup
+            "warmup_phases": warm_phases,
+            "transfer_prime": prime,
             # interpretability of first_call_s (PERF.md gotcha #8): whether
             # the persistent compile cache was hit or the buckets recompiled
             "compile_cache": cache_events.snapshot(),

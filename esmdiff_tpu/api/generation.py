@@ -703,12 +703,21 @@ class EnsembleSampler:
         for Lpad, rows in by_bucket.items():
             for s in range(0, len(rows), decode_batch):
                 chunk = rows[s:s + decode_batch]
+                # pow2 batch bucket: a lone serve-path row decodes at B=1
+                # instead of paying a fixed 32-row forward (advisor); full
+                # sweep chunks still land on the one B=decode_batch program
+                B = min(decode_batch, _pow2_at_least(len(chunk)))
                 prots = _decode_padded_chunk(
                     self.runtime, [r[2] for r in chunk],
-                    [r[3] for r in chunk], Lpad, decode_batch)
+                    [r[3] for r in chunk], Lpad, B)
                 for (i, j, _, _), p in zip(chunk, prots):
                     results[i][j] = p
         return results
+
+
+def _pow2_at_least(n: int) -> int:
+    """Smallest power of two >= n (batch-dimension bucketing for decodes)."""
+    return 1 << max(0, n - 1).bit_length()
 
 
 def _decode_padded_chunk(runtime: ESM3Runtime, rows: list, seqs: list,

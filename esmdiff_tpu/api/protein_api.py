@@ -307,6 +307,15 @@ class ESM3Runtime:
         t2 = _time.time()
         prots = []
         for i, seq in enumerate(sequences):
+            # a mismatched sequence/token pairing would otherwise silently
+            # yield truncated or EOS/pad-contaminated coordinates (advisor)
+            row_len = int(lengths[i]) if lengths is not None \
+                else toks.shape[1]
+            if len(seq) + 2 != row_len:
+                raise ValueError(
+                    f"decode_batch row {i}: sequence has {len(seq)} "
+                    f"residues but the token row holds {row_len} positions "
+                    f"incl. BOS/EOS (expected {len(seq) + 2})")
             p = protein_io.from_backbone(bb[i, :len(seq)], sequence=seq)
             coords = p.atom_positions.copy()
             coords[p.atom_mask < 0.5] = np.nan

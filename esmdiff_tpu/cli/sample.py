@@ -113,6 +113,12 @@ def get_argparser():
                    help="Skip targets whose output PDB already exists — "
                         "makes long sweeps (full_eval: 282 targets) "
                         "resumable after an interruption.")
+    p.add_argument("--refine", action="store_true",
+                   help="Post-decode geometry projection (ops/refine.py): "
+                        "clamp adjacent CA-CA distances into the physical "
+                        "band and push non-bonded clashes apart, shifting "
+                        "each residue rigidly — rescues bond/clash validity "
+                        "at the scratch-tokenizer decode floor.")
     p.add_argument("--plan", type=str, default="single",
                    choices=["single", "ladder"],
                    help="Batch planning: 'single' compiles ONE program per "
@@ -127,6 +133,10 @@ def main(argv=None):
     args = get_argparser().parse_args(argv)
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
     _enable_cache()
+    from esmdiff_tpu.utils.device import prime_transfers_async
+    # one-time tunnel d2h stream setup (6-350 s variance, utils/device.py),
+    # overlapped with runtime build + first compile
+    _prime_join, _ = prime_transfers_async()
     data_paths = [Path(p) for p in (
         args.input if isinstance(args.input, list) else [args.input])]
     for dp in data_paths:
@@ -155,14 +165,30 @@ def main(argv=None):
     )
 
     # distinct --input dirs sharing a basename (runA/targets, runB/targets)
-    # must not collide into one output subdir — disambiguate with an index
-    sub_names: dict[str, int] = {}
+    # must not collide into one output subdir.  The disambiguation is
+    # derived from the resolved PATH (parent-qualified until unique), not
+    # encounter order: a --skip_existing resume with the dirs reordered
+    # must map every dir to the same output subdir (round-4 advisor)
+    resolved = [dp.resolve() for dp in data_paths]
+    if len(set(resolved)) != len(resolved):
+        raise SystemExit("--input lists the same directory twice")
+
+    def _subdir_name(rp: Path) -> str:
+        same = [p for p in resolved if p.name == rp.name]
+        if len(same) == 1:
+            return rp.name
+        k = 2
+        while True:  # qualify with parents until all colliding names split
+            tails = {"--".join(p.parts[-k:]).replace("/", "--")
+                     for p in same}
+            if len(tails) == len(same):
+                return "--".join(rp.parts[-k:]).replace("/", "--")
+            k += 1
+
     targets = []
-    for dp in data_paths:
+    for dp, rp in zip(data_paths, resolved):
         if multi_input:
-            n = sub_names.get(dp.name, 0)
-            sub_names[dp.name] = n + 1
-            sub = output_dir / (dp.name if n == 0 else f"{dp.name}.{n}")
+            sub = output_dir / _subdir_name(rp)
         else:
             sub = output_dir
         sub.mkdir(parents=True, exist_ok=True)
@@ -183,6 +209,7 @@ def main(argv=None):
 
         profile_cm = jax.profiler.trace(args.profile)
         profile_cm.__enter__()
+    print(f"[device] transfer prime: {_prime_join()}")
     for path, out_dir_t in targets:
         key = (f"{out_dir_t.name}/{path.stem}" if multi_input
                else path.stem)
@@ -224,6 +251,17 @@ def main(argv=None):
             )
         t_tokens = time.time() - t0
         prots = sampler.decode_ensemble(seq, tokens)
+        if args.refine:
+            from esmdiff_tpu.ops.refine import refine_ca_ensemble
+
+            # project each conformation's CA trace into the validity band
+            # and translate every residue's atoms rigidly by its CA
+            # displacement (ops/refine.py; only CA metrics are evaluated
+            # by the reference suite, eval_utils.py:132-188)
+            ca = np.stack([p.coordinates[:, 1] for p in prots])
+            shift = np.nan_to_num(refine_ca_ensemble(ca) - ca, nan=0.0)
+            for p, s in zip(prots, shift):
+                p.coordinates += s[:, None, :]
         t_total = time.time() - t0
 
         out_file = out_dir_t / f"{path.stem}.pdb"

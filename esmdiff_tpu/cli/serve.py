@@ -478,6 +478,10 @@ def main(argv=None):
 
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
     _enable_cache()
+    from esmdiff_tpu.utils.device import prime_transfers_async
+    # one-time tunnel d2h stream setup, overlapped with runtime build +
+    # warmup; joined before the server accepts traffic
+    _prime_join, _ = prime_transfers_async()
 
     runtime = build_runtime(args)
     if getattr(args, "quant", "none") == "int8":
@@ -505,6 +509,7 @@ def main(argv=None):
         rep = service.warmup(wreq)
         print(f"[warmup] {rep['warmed']}")
 
+    print(f"[device] transfer prime: {_prime_join()}")
     httpd = serve(service, args.host, args.port)
     print(f"[serve] listening on http://{args.host}:{httpd.server_port} "
           f"(mode default {args.mode}; POST /sample, /warmup; GET /healthz)")

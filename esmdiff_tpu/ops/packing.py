@@ -67,6 +67,10 @@ def packed_segment_ids(lengths, L: int, k: int):
     seg = jnp.asarray(np.repeat(np.arange(k), L), jnp.int32)       # (k*L,)
     if lengths is None:
         return seg[None, :]  # broadcasts over the packed batch
+    # jnp coercion: callers may pass host-numpy lengths (kept off-device so
+    # jit closures never bake device arrays — see bench.make_bucket_fn),
+    # and numpy fancy-indexing cannot take the traced ``seg``
+    lengths = jnp.asarray(lengths, jnp.int32)
     B = lengths.shape[0]
     lens_p = lengths.reshape(B // k, k)                  # (B', k)
     valid = pos_in_seg[None, :] < lens_p[:, seg]         # (B', k*L)

@@ -26,7 +26,8 @@ import numpy as np
 N_ENSEMBLE = 64
 N_SAMPLES = 64
 TRAIN_STEPS = 400
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def token_js(a: np.ndarray, b: np.ndarray, vocab: int = 4096) -> float:

@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-TARGETS_ROOT = Path("/root/reference/data/targets")
+from esmdiff_tpu.utils.fixtures import targets_root
+TARGETS_ROOT = targets_root()
 FAMILIES = ("bpti", "apo", "codnas", "ped")
 MAX_LEN = 318          # residues; padded to PAD_L with specials
 PAD_L = 320            # single padded length -> one compile bucket
@@ -60,18 +61,23 @@ def encoder_cfg():
 
 
 def decoder_cfg(args):
-    """Decoder geometry.  Defaults to the mid-scale d768/12L; the round-4
-    capacity experiment (PERF.md: at 224 train chains the d768/12L decoder
-    memorizes — train-val recon gap 5.9 Å vs the round-3e d256/6L hedge's
-    2.1 Å) overrides it via --dec_d_model/--dec_n_layers/--dec_n_heads.
-    Plain attribute access (argparse always defines these) so a renamed
-    flag fails loudly instead of being swallowed by a getattr default."""
+    """Decoder geometry.  ``--objective ensemble`` (default) = the mid-scale
+    d768/12L pair that won TM-ens in 3/4 families (campaign_aug);
+    ``--objective fidelity`` = the capacity-down d256/6L/8h pair that holds
+    the best decode floor measured on chip (12.54 vs 14.11 Å val CA-RMSD,
+    PERF.md round-4 capacity-down campaign) — the two levers trade off at
+    this corpus size, so the objective picks the default.  Explicit
+    --dec_d_model/--dec_n_layers/--dec_n_heads override either.  Plain
+    attribute access (argparse always defines these) so a renamed flag
+    fails loudly instead of being swallowed by a getattr default."""
     from esmdiff_tpu.models.vqvae import DecoderConfig
 
+    fidelity = args.objective == "fidelity"
+    base = (256, 8, 6) if fidelity else (768, 12, 12)
     return DecoderConfig(
-        d_model=args.dec_d_model or 768,
-        n_heads=args.dec_n_heads or 12,
-        n_layers=args.dec_n_layers or 12,
+        d_model=args.dec_d_model or base[0],
+        n_heads=args.dec_n_heads or base[1],
+        n_layers=args.dec_n_layers or base[2],
         dtype="bfloat16", predict_ptm=False, remat=True)
 
 
@@ -170,9 +176,10 @@ def stage_prepare(args):
         np.concatenate([tokens[i, :l] for i, l in enumerate(lens)])))
     print(f"[prepare] {n_distinct} distinct codes in use "
           f"-> {root / 'corpus.npz'}")
+    _write_holdout(root, args)
 
 
-def _decoder_init(args=None):
+def _decoder_init(args):
     import jax
     import jax.numpy as jnp
 
@@ -200,10 +207,9 @@ def stage_train_decoder(args):
     z = np.load(root / "corpus.npz", allow_pickle=True)
     tokens, bbs, lens = z["tokens"], z["backbones"], z["lengths"]
     N = len(tokens)
-    n_val = max(4, N // 20)
     rs = np.random.RandomState(SEED)
-    perm = rs.permutation(N)
-    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    tr_idx, val_idx = _train_val_split(root, z["names"], rs)
+    n_val = len(val_idx)
 
     dcfg = decoder_cfg(args)
     dec = StructureTokenDecoder(dcfg)
@@ -335,10 +341,8 @@ def stage_train_vqvae(args):
     z = np.load(root / "corpus.npz", allow_pickle=True)
     bbs, lens = z["backbones"], z["lengths"]
     N = len(lens)
-    n_val = max(4, N // 20)
     rs = np.random.RandomState(SEED)
-    perm = rs.permutation(N)
-    val_idx, tr_idx = perm[:n_val], perm[n_val:]
+    tr_idx, val_idx = _train_val_split(root, z["names"], rs)
 
     ecfg, dcfg = encoder_cfg(), decoder_cfg(args)
     t0 = time.time()
@@ -419,10 +423,15 @@ def stage_dump(args):
     z = np.load(root / "corpus.npz", allow_pickle=True)
     tokens, lens = z["tokens"], z["lengths"]
     names, seqs = z["names"], z["sequences"]
+    holdout = campaign_holdout(root)   # eval targets never reach the MDLM
     enc_dir = root / "encodings"
     enc_dir.mkdir(exist_ok=True)
     st = SequenceTokenizer()
+    n_written = n_held = 0
     for i in range(len(names)):
+        if str(names[i]) in holdout:
+            n_held += 1
+            continue
         L = int(lens[i])
         seq_toks = st.encode(str(seqs[i]))            # (L+2,)
         struct = np.concatenate([
@@ -431,7 +440,9 @@ def stage_dump(args):
         np.savez_compressed(enc_dir / f"{names[i]}.npz",
                             sequence_tokens=seq_toks.astype(np.int32),
                             structure_tokens=struct)
-    print(f"[dump] {len(names)} encodings -> {enc_dir}")
+        n_written += 1
+    print(f"[dump] {n_written} encodings -> {enc_dir} "
+          f"({n_held} eval-holdout structures excluded)")
 
 
 # ---------------------------------------------------------------------------
@@ -478,37 +489,118 @@ def pick_eval_targets(root, per_family):
     return chosen
 
 
-def stage_sample(args):
+def pick_seen_targets(root, per_family, holdout: set):
+    """Per-family TRAIN-set targets for the seen-vs-unseen comparison: the
+    next-shortest structures after the holdout, so lengths are comparable."""
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    names, fams, lens = z["names"], z["families"], z["lengths"]
+    chosen = []
+    for fam in FAMILIES:
+        idx = [i for i in range(len(names))
+               if fams[i] == fam and str(names[i]) not in holdout]
+        idx.sort(key=lambda i: int(lens[i]))
+        chosen += [(str(names[i]), fam) for i in idx[:per_family]]
+    return chosen
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination (VERDICT round-4 weak #4 / next-round item 3):
+# the eval targets are held out of BOTH VQ-VAE and MDLM training, frozen in
+# holdout.json at prepare time so every later stage reads the same split.
+# ---------------------------------------------------------------------------
+
+def _write_holdout(root, args):
+    if args.no_holdout:
+        (root / "holdout.json").write_text(
+            json.dumps({"names": [], "per_family": 0}))
+        print("[prepare] --no_holdout: eval targets stay in training "
+              "(legacy contaminated protocol, for comparison only)")
+        return
+    names = [t for t, _ in pick_eval_targets(root, args.per_family)]
+    (root / "holdout.json").write_text(
+        json.dumps({"names": names, "per_family": args.per_family},
+                   indent=2))
+    print(f"[prepare] holdout: {len(names)} eval targets excluded from "
+          f"VQ-VAE and MDLM training")
+
+
+def campaign_holdout(root) -> set:
+    f = root / "holdout.json"
+    if not f.exists():
+        print("[holdout] WARNING: no holdout.json (pre-round-5 campaign "
+              "dir) — training set includes the eval targets; quality "
+              "numbers are on-train-set upper bounds")
+        return set()
+    return set(json.loads(f.read_text())["names"])
+
+
+def _train_val_split(root, names, rs):
+    """(tr_idx, val_idx) with the eval holdout excluded from training; the
+    holdout doubles as the val set (it is exactly the set whose decode
+    fidelity the campaign reports).  Falls back to the legacy random 5%
+    split when no holdout exists."""
+    N = len(names)
+    holdout = campaign_holdout(root)
+    hold_idx = np.array([i for i in range(N) if str(names[i]) in holdout],
+                        dtype=int)
+    if len(hold_idx) == 0:
+        perm = rs.permutation(N)
+        n_val = max(4, N // 20)
+        return perm[n_val:], perm[:n_val]
+    rest = np.setdiff1d(np.arange(N), hold_idx)
+    return rs.permutation(rest), hold_idx
+
+
+def _sample_target_set(args, targets, samples_root, stage_dir):
+    """Run the production sampling CLI per family over a named target set.
+
+    --skip_existing is only passed when the campaign explicitly opts in via
+    --resume_samples: an unconditional skip silently reused STALE ensembles
+    from a previous model after retraining (round-4 advisor finding)."""
     import shutil
 
     from esmdiff_tpu.cli.sample import main as sample_main
 
     root = out_root(args)
-    targets = pick_eval_targets(root, args.per_family)
-    print(f"[sample] {len(targets)} eval targets: "
-          f"{[t for t, _ in targets]}")
-    # stage the target PDBs into per-family dirs; run the CLI per family so
-    # every target keeps its own name in the output dir
     for fam in FAMILIES:
         fam_targets = [t for t, f in targets if f == fam]
         if not fam_targets:
             continue
-        in_dir = root / "eval_targets" / fam
+        in_dir = root / stage_dir / fam
         in_dir.mkdir(parents=True, exist_ok=True)
         for t in fam_targets:
             src = TARGETS_ROOT / fam / f"{t}.pdb"
             shutil.copy(src, in_dir / f"{t}.pdb")
-        out_dir = root / "samples" / fam
+        out_dir = samples_root / fam
         argv = [
             "--input", str(in_dir), "--output", str(out_dir),
             "--mode", "ddpm", "--num_steps", str(args.num_steps),
             "--num_samples", str(args.num_samples),
             "--ckpt", str(root / "mdlm_run" / "ckpt"),
             "--vqvae_ckpt", str(root / "vqvae"),
-            "--skip_existing",  # resumable after a tunnel/driver restart
         ]
+        if args.resume_samples:
+            argv.append("--skip_existing")
         print(f"[sample] esmdiff-sample {' '.join(argv)}", flush=True)
         sample_main(argv)
+
+
+def stage_sample(args):
+    root = out_root(args)
+    holdout = campaign_holdout(root)
+    targets = pick_eval_targets(root, args.per_family)
+    unseen = [t for t in targets if t[0] in holdout] if holdout else []
+    print(f"[sample] {len(targets)} eval targets "
+          f"({len(unseen)} held out of training): {[t for t, _ in targets]}")
+    _sample_target_set(args, targets, root / "samples", "eval_targets")
+    if holdout:
+        # seen-vs-unseen side-by-side (VERDICT round-5 item 3): sample an
+        # equal number of TRAIN-set targets under the identical protocol
+        seen = pick_seen_targets(root, args.per_family, holdout)
+        print(f"[sample] {len(seen)} seen (train-set) comparison targets: "
+              f"{[t for t, _ in seen]}")
+        _sample_target_set(args, seen, root / "samples_seen",
+                           "seen_targets")
 
 
 # ---------------------------------------------------------------------------
@@ -586,15 +678,16 @@ def stage_steps_quality(args):
 
 def stage_analyze(args):
     root = out_root(args)
-    _analyze_samples(root / "samples", root / "report.json")
+    _analyze_samples(root / "samples", root / "report.json",
+                     holdout=campaign_holdout(root),
+                     seen_root=root / "samples_seen")
 
 
-def _analyze_samples(samples_root: Path, report_path: Path):
+def _score_ensemble_dirs(samples_root: Path, holdout, force_seen: bool):
     from esmdiff_tpu.core.protein import load_ca_ensemble
-    from esmdiff_tpu.eval import analysis, metrics
+    from esmdiff_tpu.eval import metrics
     from esmdiff_tpu.eval.tmscore import tm_diversity, tm_ensemble
 
-    report = {}
     rows = []
     for fam in FAMILIES:
         sample_dir = samples_root / fam
@@ -627,28 +720,67 @@ def _analyze_samples(samples_root: Path, report_path: Path):
                     "bond_validity": float(
                         metrics.bonding_validity(d)["pred"]),
                 }
+                # *_refined: the same ensemble after the jitted bond/clash
+                # projection (ops/refine.py) — the raw columns stay the
+                # honest decode-floor readout (VERDICT round-5 item 4)
+                from esmdiff_tpu.ops.refine import refine_ca_ensemble
+
+                ref_ca = refine_ca_ensemble(pred_ca)
+                tm_ref, _ = tm_ensemble(ref_ca, target_ca)
+                row.update({
+                    "tm_ens_refined": round(tm_ref, 4),
+                    "clash_validity_refined": float(
+                        metrics.validity({"pred": ref_ca})["pred"]),
+                    "bond_validity_refined": float(metrics.bonding_validity(
+                        {"target": target_ca[None],
+                         "pred": ref_ca})["pred"]),
+                })
             except Exception as e:
                 row = {"target": name, "family": fam, "error": str(e)}
+            if holdout:  # train/eval contamination tag per row
+                row["seen"] = bool(force_seen or name not in holdout)
             rows.append(row)
             print(row, flush=True)
+    return rows
+
+
+_AGG_KEYS = ("tm_ens", "tm_div", "clash_validity", "clash_validity_x1",
+             "bond_validity", "tm_ens_refined", "clash_validity_refined",
+             "bond_validity_refined")
+
+
+def _family_aggregate(fr):
+    agg = {"n_targets": len(fr)}
+    for k in _AGG_KEYS:
+        agg[f"{k}_mean"] = round(float(np.mean([r[k] for r in fr])), 4)
+    return agg
+
+
+def _analyze_samples(samples_root: Path, report_path: Path,
+                     holdout: set | None = None,
+                     seen_root: Path | None = None):
+    from esmdiff_tpu.eval import analysis
+
+    report = {}
+    rows = _score_ensemble_dirs(samples_root, holdout, force_seen=False)
+    if seen_root is not None and seen_root.is_dir():
+        rows += _score_ensemble_dirs(seen_root, holdout, force_seen=True)
     report["per_target"] = rows
     ok = [r for r in rows if "error" not in r]
     for fam in FAMILIES:
         fr = [r for r in ok if r["family"] == fam]
-        if fr:
-            report[fam] = {
-                "n_targets": len(fr),
-                "tm_ens_mean": round(float(np.mean(
-                    [r["tm_ens"] for r in fr])), 4),
-                "tm_div_mean": round(float(np.mean(
-                    [r["tm_div"] for r in fr])), 4),
-                "clash_validity_mean": round(float(np.mean(
-                    [r["clash_validity"] for r in fr])), 4),
-                "clash_validity_x1_mean": round(float(np.mean(
-                    [r["clash_validity_x1"] for r in fr])), 4),
-                "bond_validity_mean": round(float(np.mean(
-                    [r["bond_validity"] for r in fr])), 4),
-            }
+        if not fr:
+            continue
+        if holdout:
+            # seen-vs-unseen side by side: with a model diagnosed as
+            # memorizing, on-train-set TM-ens is an upper bound, not
+            # evidence (VERDICT round-4 weak #4)
+            for tag, flag in (("unseen", False), ("seen", True)):
+                sub = [r for r in fr if r.get("seen") is flag]
+                if sub:
+                    report[f"{fam}/{tag}"] = _family_aggregate(sub)
+        else:
+            report[fam] = _family_aggregate(fr)
 
     # PED MAE suite through the analysis module, per target (the shipped
     # PED files are single representative models)
@@ -708,8 +840,11 @@ def stage_full_eval(args):
         "--num_samples", str(args.num_samples),
         "--ckpt", str(root / "mdlm_run" / "ckpt"),
         "--vqvae_ckpt", str(root / "vqvae"),
-        "--skip_existing",  # the 282-target sweep is resumable
     ]
+    # resumable 282-target sweep — but only on explicit opt-in: a blanket
+    # --skip_existing reused stale ensembles after retraining (advisor)
+    if args.resume_samples:
+        argv.append("--skip_existing")
     if args.quant != "none":
         argv += ["--quant", args.quant]
     print(f"[full_eval] {n_all} targets x {args.num_samples} "
@@ -717,7 +852,8 @@ def stage_full_eval(args):
     sample_main(argv)
     walls["sample"] = round(_time.time() - t0, 1)
     print(f"[full_eval] sampling done in {walls['sample']}s", flush=True)
-    _analyze_samples(out / "samples", out / "report.json")
+    _analyze_samples(out / "samples", out / "report.json",
+                     holdout=campaign_holdout(root))
     walls["total"] = round(_time.time() - t0, 1)
     (out / "wall.json").write_text(json.dumps(walls, indent=2))
     print(f"[full_eval] total wall {walls['total']}s -> {out}")
@@ -738,6 +874,23 @@ def main(argv=None):
                    help="MDLM max epochs (early stopping on val)")
     p.add_argument("--per_family", type=int, default=8,
                    help="eval targets per family for sample/analyze")
+    p.add_argument("--objective", type=str, default="ensemble",
+                   choices=["ensemble", "fidelity"],
+                   help="default decoder geometry: 'ensemble' = d768/12L "
+                        "(best TM-ens, campaign_aug); 'fidelity' = "
+                        "d256/6L/8h capacity-down pair (best decode floor, "
+                        "12.54 vs 14.11 A val CA-RMSD — PERF.md round-4 "
+                        "capacity-down campaign)")
+    p.add_argument("--resume_samples", action="store_true",
+                   help="pass --skip_existing to esmdiff-sample so an "
+                        "interrupted sweep resumes.  OFF by default: "
+                        "resuming after RETRAINING silently reuses stale "
+                        "ensembles from the previous model (round-4 "
+                        "advisor finding)")
+    p.add_argument("--no_holdout", action="store_true",
+                   help="legacy contaminated protocol: keep the eval "
+                        "targets in the VQ-VAE/MDLM training set (for "
+                        "comparison only)")
     p.add_argument("--num_samples", type=int, default=50)
     p.add_argument("--num_steps", type=int, default=25)
     p.add_argument("--dec_d_model", type=int, default=None,

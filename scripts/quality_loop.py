@@ -33,7 +33,8 @@ N_ENSEMBLE = 64
 N_SAMPLES = 64
 MDLM_STEPS = 500
 DEC_STEPS = 1500
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def make_target_ensemble(bb, rng, n=N_ENSEMBLE, n_modes=5, amp=1.2,

@@ -17,7 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-TARGETS_ROOT = Path("/root/reference/data/targets")
+from esmdiff_tpu.utils.fixtures import targets_root
+TARGETS_ROOT = targets_root()
 
 
 def logit_parity(runtime, qruntime, seq: str, n_times: int = 5):

@@ -53,7 +53,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))  # sibling scripts
 
 import numpy as np
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 DOWNLOAD_NOTES = """\
 [download] expected checkpoint files (reference README.md:60-65, net.py:358):

@@ -29,7 +29,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TARGETS_ROOT = Path("/root/reference/data/targets")
+from esmdiff_tpu.utils.fixtures import targets_root
+TARGETS_ROOT = targets_root()
 FAMILIES = ("bpti", "apo", "codnas", "ped")
 CLASH_BAR = 2 * 1.7 - 0.4  # reference _steric_clash default
 

@@ -1,12 +1,14 @@
 """Analysis suites (bpti/apo/ped) on synthetic ensembles."""
 
+from esmdiff_tpu.utils import fixtures as __fx
 import numpy as np
 import pytest
 
 from esmdiff_tpu.core import protein
 from esmdiff_tpu.eval import analysis
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 @pytest.fixture(scope="module")
@@ -197,7 +199,7 @@ def test_apo_cli_real_targets_end_to_end(tmp_path):
     from esmdiff_tpu.cli.analyze import main as analyze_main
     from pathlib import Path
 
-    targets = sorted(Path("/root/reference/data/targets/apo").glob("*.pdb"))[:3]
+    targets = sorted((__fx.targets_root() / "apo").glob("*.pdb"))[:3]
     structures = tmp_path / "structures"
     samples = tmp_path / "samples"
     samples.mkdir()

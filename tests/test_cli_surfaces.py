@@ -8,7 +8,8 @@ import pytest
 
 from esmdiff_tpu.core import protein
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 @pytest.fixture(scope="module")

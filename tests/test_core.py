@@ -1,3 +1,4 @@
+from esmdiff_tpu.utils import fixtures as __fx
 import numpy as np
 import pytest
 
@@ -5,7 +6,8 @@ from esmdiff_tpu.core import constants as C
 from esmdiff_tpu.core import protein, residue_constants as rc
 from esmdiff_tpu.core.tokenizer import SequenceTokenizer, StructureTokenizer
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def test_constants():
@@ -111,9 +113,9 @@ def test_native_pdb_parser_parity():
     if P._load_pdbio() is None:
         pytest.skip("no C++ toolchain: native parser unavailable")
 
-    files = ["/root/reference/data/targets/bpti/bpti.pdb"]
-    files += sorted(glob.glob("/root/reference/data/targets/apo/*.pdb"))[:2]
-    files += sorted(glob.glob("/root/reference/data/targets/ped/*.pdb"))[:2]
+    files = [str(__fx.bpti_pdb())]
+    files += sorted(glob.glob(str(__fx.targets_root() / "apo" / "*.pdb")))[:2]
+    files += sorted(glob.glob(str(__fx.targets_root() / "ped" / "*.pdb")))[:2]
     for f in files:
         text = Path(f).read_text()
         nat = P._native_parse_models(text, None)

@@ -4,7 +4,8 @@ import pytest
 from esmdiff_tpu.core import protein
 from esmdiff_tpu.eval import geo, metrics, tmscore
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb, targets_root
+BPTI = str(bpti_pdb())
 
 
 def _bpti_ca():
@@ -161,7 +162,7 @@ def test_tm_ensemble_and_diversity():
 
 # -- validity calibration on ground truth (VERDICT r3 #3) ---------------------
 
-TARGETS_ROOT = "/root/reference/data/targets"
+TARGETS_ROOT = str(targets_root())
 
 
 def _gt_ca(path):

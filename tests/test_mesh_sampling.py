@@ -12,7 +12,8 @@ from esmdiff_tpu.parallel import mesh as pmesh
 
 pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 @pytest.fixture(scope="module")

@@ -8,7 +8,8 @@ import pytest
 from esmdiff_tpu.core import constants as C
 from esmdiff_tpu.core import mmcif, protein, residue_constants as rc
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def protein_to_mmcif(prot, entry_id="test", chain_id="A",

@@ -11,7 +11,8 @@ import pytest
 
 from esmdiff_tpu.core import protein as protein_io
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def _mutate(text: str, rng: random.Random) -> str:

@@ -5,6 +5,7 @@ QuantDense module semantics, the trunk param converter's selectivity, and
 fp-vs-int8 logit parity on the tiny trunk end to end.
 """
 
+from esmdiff_tpu.utils import fixtures as __fx
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -173,7 +174,7 @@ def test_sample_cli_quant_int8(tmp_path):
 
     out = tmp_path / "out"
     cli.main([
-        "--input", "/root/reference/data/targets/bpti",
+        "--input", str(__fx.targets_root() / "bpti"),
         "--output", str(out), "--mode", "ddpm", "--num_steps", "2",
         "--num_samples", "2", "--model_scale", "tiny", "--quant", "int8",
     ])

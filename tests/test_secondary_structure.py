@@ -9,7 +9,8 @@ from esmdiff_tpu.core.secondary_structure import (
     ss_fractions,
 )
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def _bpti():

@@ -15,7 +15,8 @@ from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
 pytestmark = pytest.mark.slow  # compile-heavy (tiny trunk sampling programs)
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 @pytest.fixture(scope="module")

@@ -19,7 +19,8 @@ import pytest
 from esmdiff_tpu.core.protein import load_ca_ensemble
 from esmdiff_tpu.eval import metrics
 
-TARGETS = Path("/root/reference/data/targets")
+from esmdiff_tpu.utils.fixtures import targets_root
+TARGETS = targets_root()
 
 # several real structures per family (short ones — cheap O(L^2) checks)
 _CASES = [

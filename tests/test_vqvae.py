@@ -17,7 +17,8 @@ from esmdiff_tpu.models.vqvae import (
 
 pytestmark = pytest.mark.slow  # multi-minute compile-heavy module
 
-BPTI = "/root/reference/data/targets/bpti/bpti.pdb"
+from esmdiff_tpu.utils.fixtures import bpti_pdb
+BPTI = str(bpti_pdb())
 
 
 def tiny_encoder():
