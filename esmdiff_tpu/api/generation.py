@@ -463,6 +463,128 @@ class EnsembleSampler:
             start += B
         return self._split_rows(np.concatenate(outs, axis=0), lws, counts)
 
+    # -- cross-length packed ddpm ----------------------------------------------
+    def _ddpm_packed_fn(self, R: int, T: int, num_steps: int, eps: float,
+                        sample_max_t: float):
+        cache_key = ("packed", R, T, num_steps, eps, sample_max_t)
+        if cache_key not in self._ddpm_jit_cache:
+            def fn(params, pos_keys, seq_tokens, seg_ids, positions, prior):
+                sampler = MDLM(
+                    self.runtime.trunk, self.runtime.sigma_embedder,
+                    noise=self.noise, cfg=self.mdlm_cfg)
+                return sampler.ddpm_sample(
+                    params, None, seq_tokens, num_steps=num_steps, eps=eps,
+                    input_prior=prior, sample_max_t=sample_max_t,
+                    sequence_id=seg_ids, positions=positions,
+                    pos_keys=pos_keys)
+            self._ddpm_jit_cache[cache_key] = jax.jit(fn)
+        return self._ddpm_jit_cache[cache_key]
+
+    def ddpm_ensemble_packed(
+        self,
+        sequences: Sequence[str],
+        counts: Sequence[int],
+        num_steps: int = 25,
+        eps: float = 1e-5,
+        sample_max_t: float = 1.0,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+        seeds: Optional[Sequence[int]] = None,
+        row_width: Optional[int] = None,
+    ) -> list[np.ndarray]:
+        """Cross-length coalesced ddpm: requests from DIFFERENT length
+        buckets share device rows.
+
+        Each sample is a segment; segments pack first-fit-decreasing into
+        rows of fixed width T (>= the largest bucket) with a block-diagonal
+        segment mask and per-segment rotary restart — the machinery
+        ops/packing.py already proved bitwise-exact for uniform segments,
+        generalized to a ragged layout.  This closes the round-4 serve SLO
+        gap: mixed 58/120/250 traffic previously serialized one executable
+        per bucket (PERF.md round-4 SLO: 11.7 conf/s aggregate); here it
+        runs as ONE (R, T) program.  The reference's ragged one-batch
+        inference: slm/sample_esmdiff.py:181-193.
+
+        Determinism: every draw for a sample position uses the key
+        ``fold_in(fold_in(PRNGKey(request_seed), sample_idx), pos)`` —
+        identical to the solo/same-bucket paths (mdlm.position_keys), so a
+        request's randomness never depends on co-batched traffic; token
+        outputs are additionally bitwise-invariant to the CONTENT of
+        co-packed segments at a fixed layout (masked attention contributes
+        exact zeros), and match a solo run up to trunk fp reduction order
+        across layouts (tests/test_packed_multi.py).
+
+        Returns one (counts[i], L_i) interior-token array per request.
+        """
+        from esmdiff_tpu.diffusion.mdlm import position_keys
+        from esmdiff_tpu.ops.packing import plan_segment_rows
+
+        if seeds is None:
+            seeds = list(range(len(sequences)))
+        seq_toks, lws = [], []
+        for s in sequences:
+            t = np.asarray(self.runtime.seq_tokenizer.encode(s), np.int32)
+            seq_toks.append(t)
+            lws.append(len(t))
+        # (request, sample) -> one segment each, in request-major order
+        segs = [(i, j) for i, c in enumerate(counts) for j in range(c)]
+        seg_lens = [lws[i] for i, _ in segs]
+        T = row_width or max(128, bucket_length(max(lws), 64))
+        rows = plan_segment_rows(seg_lens, T)
+        R = len(rows)
+        # rows per program: memory budget (reference L^2*B bound) on the
+        # packed width, pow2-bucketed, mesh-granular
+        g = self._n_shards()
+        max_rows = max(g, (budget // (T * T)) // g * g)
+        pow2_floor = 1 << max(0, max_rows.bit_length() - 1)
+        # pow2 ladder with the same min as plan_batches: serving groups of
+        # varying size land on a handful of shared (Rb, T) programs
+        Rb = min(pow2_floor, max(8, _pow2_at_least(R)))
+        Rb = max(g, Rb // g * g)
+
+        # per-request (count, lw, 2) position keys — the SAME fold chain the
+        # unpacked paths derive on device (mdlm.position_keys)
+        pkeys_req = [
+            np.asarray(position_keys(
+                jnp.asarray(request_row_keys(seeds[i], c)), lws[i]))
+            for i, c in enumerate(counts)
+        ]
+
+        out_per_seg: list = [None] * len(segs)
+        fn = self._ddpm_packed_fn(Rb, T, num_steps, eps, sample_max_t)
+        for start in range(0, R, Rb):
+            chunk = rows[start:start + Rb]
+            seq_a = np.full((Rb, T), C.SEQUENCE_PAD_TOKEN, np.int32)
+            prior = np.full((Rb, T), C.STRUCTURE_PAD_TOKEN, np.int32)
+            segid = np.full((Rb, T), -1, np.int32)
+            posit = np.zeros((Rb, T), np.int32)
+            pkeys = np.zeros((Rb, T, 2), np.uint32)
+            placed = []                      # (global_seg, row, offset, lw)
+            for r, row in enumerate(chunk):
+                off = 0
+                for s_local, gseg in enumerate(row):
+                    i, j = segs[gseg]
+                    lw = lws[i]
+                    seq_a[r, off:off + lw] = seq_toks[i]
+                    prior[r, off:off + lw] = C.STRUCTURE_MASK_TOKEN
+                    segid[r, off:off + lw] = s_local
+                    posit[r, off:off + lw] = np.arange(lw)
+                    pkeys[r, off:off + lw] = pkeys_req[i][j]
+                    placed.append((gseg, r, off, lw))
+                    off += lw
+            batch = self._device_batch({
+                "seq": seq_a, "prior": prior, "segid": segid,
+                "pos": posit, "keys": pkeys})
+            toks = np.asarray(fn(
+                self._mdlm_params, batch["keys"], batch["seq"],
+                batch["segid"], batch["pos"], batch["prior"]))
+            for gseg, r, off, lw in placed:
+                out_per_seg[gseg] = toks[r, off + 1:off + lw - 1]
+        res, k = [], 0
+        for c in counts:
+            res.append(np.stack(out_per_seg[k:k + c]))
+            k += c
+        return res
+
     # -- gibbs ----------------------------------------------------------------
     def _gibbs_fn(self, B: int, Lpad: int, config: GenerationConfig):
         """Jitted per-bucket iterative-unmask program (shared by the single

@@ -305,8 +305,15 @@ class SamplerService:
         from esmdiff_tpu.api.generation import bucket_length
 
         item = _Pending(p["seq"], p["n"], p["fmt"], p["seed"])
+        # ddpm groups across length buckets: the cross-length packed engine
+        # (api/generation.ddpm_ensemble_packed) co-batches mixed-length
+        # requests into shared segment-masked rows, so the bucket is not a
+        # compatibility constraint anymore (round-4 SLO gap: cross-bucket
+        # requests serialized).  gibbs still coalesces per bucket.
         # +2: BOS/EOS ride along in the tokenized length
-        gkey = (p["mode"], bucket_length(len(p["seq"]) + 2), p["steps"],
+        bucket = (None if p["mode"] == "ddpm"
+                  else bucket_length(len(p["seq"]) + 2))
+        gkey = (p["mode"], bucket, p["steps"],
                 p["temperature"], p["top_p"])
         with self._pending_lock:
             q = self._pending.setdefault(gkey, [])
@@ -343,9 +350,19 @@ class SamplerService:
                             top_p=p["top_p"]),
                         seeds=seeds)
                 else:
-                    toks_list = self.sampler.ddpm_ensemble_multi(
-                        seqs, counts, num_steps=p["steps"],
-                        seeds=seeds)
+                    from esmdiff_tpu.api.generation import bucket_length
+
+                    buckets = {bucket_length(len(s) + 2) for s in seqs}
+                    if len(buckets) > 1:
+                        # mixed-length group -> ONE packed (R, T) program
+                        # instead of one serialized program per bucket
+                        toks_list = self.sampler.ddpm_ensemble_packed(
+                            seqs, counts, num_steps=p["steps"],
+                            seeds=seeds)
+                    else:
+                        toks_list = self.sampler.ddpm_ensemble_multi(
+                            seqs, counts, num_steps=p["steps"],
+                            seeds=seeds)
                 t_tokens = time.time() - t_dev
             # phase 2 outside the sample lock: the next group's trunk
             # sampling can already enqueue on the device
@@ -375,7 +392,8 @@ class SamplerService:
                 it.event.set()
 
     def warmup(self, req: dict) -> dict:
-        lengths = req.get("lengths") or [64]
+        lengths = req.get("lengths") or (
+            [] if req.get("packed_lengths") else [64])
         n = int(req.get("num_samples", 10))
         mode = req.get("mode", "gibbs")
         steps = int(req.get("num_steps", 25 if mode == "ddpm" else 16))
@@ -383,17 +401,36 @@ class SamplerService:
         # first request vs 4.5 s steady when only the sampler was warm
         fmt = req.get("format", "pdb")
         report = {}
+
+        def _seq(L: int) -> str:
+            # arbitrary valid residues; the executables are shape-keyed, so
+            # any sequence of length L warms the (B, bucket(L)) programs
+            return ("ACDEFGHIKLMNPQRSTVWY" * (L // 20 + 1))[:L]
+
         for L in lengths:
             L = int(L)
             if not 2 < L <= _MAX_SEQ_LEN:
                 raise RequestError(f"warmup length out of range: {L}")
-            # arbitrary valid residues; the executables are shape-keyed, so
-            # any sequence of length L warms the (B, bucket(L)) programs
-            seq = ("ACDEFGHIKLMNPQRSTVWY" * (L // 20 + 1))[:L]
             t0 = time.time()
-            self.sample({"sequence": seq, "num_samples": n, "mode": mode,
-                         "num_steps": steps, "format": fmt})
+            self.sample({"sequence": _seq(L), "num_samples": n,
+                         "mode": mode, "num_steps": steps, "format": fmt})
             report[str(L)] = round(time.time() - t0, 2)
+        if req.get("packed_lengths"):
+            # pre-pay the cross-length packed (Rb, T) executables for the
+            # declared traffic mix (ddpm-only engine) — one call per group
+            # size bucket the operator expects
+            pls = [int(x) for x in req["packed_lengths"]]
+            for L in pls:
+                if not 2 < L <= _MAX_SEQ_LEN:
+                    raise RequestError(
+                        f"packed warmup length out of range: {L}")
+            t0 = time.time()
+            with self._sample_lock:
+                self.sampler.ddpm_ensemble_packed(
+                    [_seq(L) for L in pls], [n] * len(pls),
+                    num_steps=steps, seeds=list(range(len(pls))))
+            report["packed:" + ",".join(map(str, pls))] = round(
+                time.time() - t0, 2)
         return {"warmed": report}
 
 
@@ -470,6 +507,11 @@ def main(argv=None):
     p.add_argument("--warmup_lengths", type=str, default=None,
                    help="Comma-separated sequence lengths to precompile "
                         "before accepting traffic (e.g. 64,128,256).")
+    p.add_argument("--warmup_packed", type=str, default=None,
+                   help="Comma-separated lengths of an expected MIXED "
+                        "traffic group (e.g. 58,120,250): precompiles the "
+                        "cross-length packed executables "
+                        "(api/generation.ddpm_ensemble_packed).")
     # Override the sampler CLI's default of 25: None means "not set by the
     # operator", so warmup precompiles the per-mode default /sample will use
     # (ddpm 25, gibbs 16) instead of string-sniffing argv (ADVICE round 2).
@@ -496,10 +538,14 @@ def main(argv=None):
     service = SamplerService(EnsembleSampler(runtime, mesh=mesh),
                              max_samples=args.max_samples,
                              coalesce=args.coalesce == "on")
-    if args.warmup_lengths:
-        lengths = [int(x) for x in args.warmup_lengths.split(",")]
+    if args.warmup_lengths or args.warmup_packed:
+        lengths = ([int(x) for x in args.warmup_lengths.split(",")]
+                   if args.warmup_lengths else [])
         wreq = {"lengths": lengths, "mode": args.mode,
                 "num_samples": args.num_samples}
+        if args.warmup_packed:
+            wreq["packed_lengths"] = [
+                int(x) for x in args.warmup_packed.split(",")]
         # num_steps is part of the jit-cache key; only forward it when the
         # operator set it explicitly (None = parser default, so /sample's
         # per-mode default applies: ddpm 25, gibbs 16)

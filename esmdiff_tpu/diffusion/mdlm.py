@@ -117,6 +117,19 @@ def shield_special_tokens(logits):
     return logits + shield
 
 
+def position_keys(row_keys, L: int):
+    """(B, 2) per-row keys -> (B, L, 2) per-position keys.
+
+    ``pos_keys[b, p] = fold_in(row_keys[b], p)`` — the canonical key layout
+    every ddpm path shares, so a sample's draws are invariant to how its
+    positions are laid out on device (solo row, same-bucket coalesced row,
+    or a segment inside a heterogeneous packed row)."""
+    pos = jnp.arange(L, dtype=jnp.int32)
+    return jax.vmap(
+        lambda rk: jax.vmap(lambda p: jax.random.fold_in(rk, p))(pos)
+    )(row_keys)
+
+
 def sample_categorical(key, probs):
     """Gumbel-max categorical over unnormalized probs (reference model.py:24-28)."""
     gumbel_norm = 1e-10 - jnp.log(
@@ -172,7 +185,7 @@ class MDLM:
     def forward_logits(self, params, xt, condition_seq, sigma,
                        shield_specials: bool = False, sequence_id=None,
                        lengths=None, parameterize: bool = True,
-                       pack: int = 1):
+                       pack: int = 1, positions=None):
         """Full conditioned forward -> parameterized log-probs
         (reference _model_wrapper, model.py:464-492).
 
@@ -196,7 +209,6 @@ class MDLM:
             aux = jnp.tile(cond[:, None, :], (1, xt.shape[1], 1))
         else:
             aux = None
-        positions = None
         if pack > 1:
             if sequence_id is not None:
                 raise ValueError("pack > 1 is incompatible with an explicit "
@@ -463,6 +475,8 @@ class MDLM:
         lengths=None,
         pack: int = 1,
         row_keys=None,
+        positions=None,
+        pos_keys=None,
     ):
         """25-step ancestral denoising as one ``lax.scan``
         (reference ddpm_sample/_ddpm_update, model.py:543-607).
@@ -472,18 +486,27 @@ class MDLM:
         pack: sequence-packing factor for the trunk forwards (ops/packing.py)
         — sampler state and RNG draws stay at (B, L), so results for a given
         seed are unchanged (up to trunk fp reduction order).
-        row_keys: optional (B, 2) uint32 per-row PRNG keys.  Every random
-        draw for row b depends ONLY on ``row_keys[b]`` and the step index —
-        NOT on the batch size, the row's placement, or the other rows — so a
-        request coalesced into a shared serving batch draws exactly what it
-        would draw alone (cli/serve.py determinism).  When None, keys derive
-        from ``key`` via ``jax.random.split(key, B)``.
+        row_keys: optional (B, 2) uint32 per-row PRNG keys.  When None, keys
+        derive from ``key`` via ``jax.random.split(key, B)``.
+        positions: optional explicit rotary positions (passed with
+        ``sequence_id`` by the cross-length packed engine,
+        api/generation.py — segments restart at 0).
+        pos_keys: optional (B, L, 2) uint32 PER-POSITION PRNG keys; default
+        ``fold_in(row_keys[b], p)``.  Every random draw for position (b, p)
+        depends ONLY on its key and the step index — NOT on batch size, row
+        placement, or co-batched traffic — so a request draws bit-identical
+        randomness whether it runs solo, same-bucket coalesced, or packed
+        into shared heterogeneous rows (cli/serve.py determinism; the
+        cross-length engine scatters ``fold_in(row_key, pos_in_segment)``
+        into its packed layout to reproduce exactly these keys).
         Returns (B, L) int32 structure tokens (with BOS/EOS slots).
         """
         cfg = self.cfg
         B, L = sequence_tokens.shape
-        if row_keys is None:
-            row_keys = jax.random.split(key, B)
+        if pos_keys is None:
+            if row_keys is None:
+                row_keys = jax.random.split(key, B)
+            pos_keys = position_keys(row_keys, L)
         if input_prior is None:
             x = jnp.full((B, L), cfg.mask_index, dtype=jnp.int32)
         else:
@@ -500,11 +523,14 @@ class MDLM:
         ts = timesteps[:n_iters]
         is_final = jnp.arange(n_iters) == num_steps
 
+        fold2 = jax.vmap(jax.vmap(jax.random.fold_in))
+
         def step(x, inp):
             t, final, step_i = inp
-            ks = jax.vmap(lambda rk: jax.random.fold_in(rk, step_i))(row_keys)
-            k_tok = jax.vmap(lambda rk: jax.random.fold_in(rk, 0))(ks)
-            k_stay = jax.vmap(lambda rk: jax.random.fold_in(rk, 1))(ks)
+            step_ix = jnp.broadcast_to(step_i, (B, L))
+            ks = fold2(pos_keys, step_ix)                    # (B, L, 2)
+            k_tok = fold2(ks, jnp.zeros((B, L), jnp.int32))
+            k_stay = fold2(ks, jnp.ones((B, L), jnp.int32))
             tb = jnp.full((B,), t, dtype=jnp.float32)
             sigma_t = self.noise.total_noise(tb)
             sigma_s = self.noise.total_noise(tb - dt)
@@ -514,6 +540,7 @@ class MDLM:
                 params, x, sequence_tokens, sigma_t[:, None],
                 shield_specials=shield_specials, sequence_id=sequence_id,
                 lengths=lengths, parameterize=False, pack=pack,
+                positions=positions,
             )
             # Two-stage factorization of the reference posterior sample
             # (model.py:602-604): q_xs = p(x0)*(mc_t-mc_s) with mass mc_s on
@@ -523,12 +550,12 @@ class MDLM:
             # (B, L, V) arrays per step).  Gumbel-max needs no normalization.
             # Verified against the direct q_xs formula in
             # tests/test_diffusion.py::test_ddpm_two_stage_update_equivalence.
-            g = jax.vmap(
+            g = jax.vmap(jax.vmap(
                 lambda rk, zr: jax.random.gumbel(rk, zr.shape, jnp.float32)
-            )(k_tok, z)
+            ))(k_tok, z)
             x_new = jnp.argmax(z + g, axis=-1).astype(jnp.int32)
-            stay_u = jax.vmap(
-                lambda rk: jax.random.uniform(rk, (L,)))(k_stay)
+            stay_u = jax.vmap(jax.vmap(
+                lambda rk: jax.random.uniform(rk, ())))(k_stay)
             stay = stay_u * mc_t < mc_s
             x_new = jnp.where(stay, cfg.mask_index, x_new)
             copy = x != cfg.mask_index

@@ -49,6 +49,39 @@ def pack_factor(B: int, L: int, target: int = PACK_TARGET_LEN,
     return k
 
 
+def plan_segment_rows(seg_lengths, T: int) -> list[list[int]]:
+    """First-fit-decreasing packing of variable-length segments into rows.
+
+    seg_lengths: per-segment token lengths (each <= T).  Returns rows as
+    lists of segment INDICES; within a row, segments are laid out back to
+    back in the returned order.  Used by the cross-length packed sampling
+    engine (api/generation.py) to co-batch mixed-length serving requests
+    into shared segment-masked device rows — the reference's ragged
+    one-batch inference (slm/sample_esmdiff.py:181-193) rebuilt as a
+    fixed-shape TPU schedule.
+
+    Deterministic: ties between equal lengths keep ascending index order, so
+    the same request mix always produces the same layout.
+    """
+    order = sorted(range(len(seg_lengths)),
+                   key=lambda i: (-int(seg_lengths[i]), i))
+    rows: list[list[int]] = []
+    room: list[int] = []
+    for i in order:
+        ln = int(seg_lengths[i])
+        if ln > T:
+            raise ValueError(f"segment {i} length {ln} exceeds row width {T}")
+        for r, free in enumerate(room):
+            if free >= ln:
+                rows[r].append(i)
+                room[r] -= ln
+                break
+        else:
+            rows.append([i])
+            room.append(T - ln)
+    return rows
+
+
 def packed_positions(L: int, k: int):
     """(k*L,) int32 rotary positions restarting at each segment."""
     return jnp.asarray(np.tile(np.arange(L), k), jnp.int32)

@@ -116,19 +116,23 @@ def tiny_mdlm():
 
 
 def test_ddpm_sample_pack_identical_tokens(tiny_mdlm):
-    """pack>1 leaves RNG shapes untouched -> same seed, same samples
-    (bitwise on CPU)."""
+    """pack>1 leaves RNG keys untouched -> same seed, same samples at every
+    VALID position (bitwise on CPU).  Positions beyond ``lengths`` are
+    meaningless (pads attend differently between pack layouts and every
+    caller strips them — generation.py trims to the tokenized length)."""
     mdlm, params = tiny_mdlm
     B, L = 8, 16
+    ell = L - 2
     rng = np.random.RandomState(2)
     seq = jnp.asarray(rng.randint(4, 24, (B, L)), jnp.int32)
-    lengths = jnp.full((B,), L - 2, jnp.int32)
+    lengths = jnp.full((B,), ell, jnp.int32)
     key = jax.random.PRNGKey(7)
     t1 = mdlm.ddpm_sample(params, key, seq, num_steps=4, lengths=lengths,
                           pack=1)
     t2 = mdlm.ddpm_sample(params, key, seq, num_steps=4, lengths=lengths,
                           pack=2)
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(t1)[:, :ell],
+                                  np.asarray(t2)[:, :ell])
 
 
 def test_decoder_packed_parity_on_cpu():

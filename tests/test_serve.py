@@ -282,3 +282,70 @@ def test_coalesced_requests_are_seed_deterministic(server):
     # (the ddpm-path analogue lives in test_end_to_end.py::
     #  test_multi_request_rows_are_placement_invariant — this server
     #  fixture has no sigma embedder)
+
+
+@pytest.fixture(scope="module")
+def ddpm_server():
+    """ddpm-capable server (structure head + sigma embedder) for the
+    cross-length packed coalescing path."""
+    runtime = ESM3Runtime.random_init(
+        seed=1,
+        trunk_cfg=esm3_tiny(dtype="float32", head_type="structure"),
+        encoder_cfg=EncoderConfig(d_model=32, n_heads=2, v_heads=4,
+                                  n_layers=2, d_out=8, knn=8),
+        decoder_cfg=DecoderConfig(d_model=32, n_heads=2, n_layers=2,
+                                  dtype="float32", scan_layers=False),
+    )
+    service = SamplerService(EnsembleSampler(runtime), max_samples=16)
+    httpd = serve(service, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", service
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def test_cross_length_requests_coalesce_packed(ddpm_server):
+    """VERDICT round-5 item 1: ddpm requests from DIFFERENT length buckets
+    coalesce into one packed device run (api/generation.ddpm_ensemble_packed)
+    and each request's ensemble is bit-identical to its solo run — the
+    round-4 per-request-seed determinism guarantee extended to cross-length
+    packed rows."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    base, service = ddpm_server
+    seq_short = "MKTAYIAKQR"                                    # bucket 32
+    seq_long = "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQAPILSRVG"      # bucket 64
+    req_short = {"sequence": seq_short, "num_samples": 3, "mode": "ddpm",
+                 "num_steps": 2, "seed": 5, "format": "tokens"}
+    req_long = {"sequence": seq_long, "num_samples": 2, "mode": "ddpm",
+                "num_steps": 2, "seed": 17, "format": "tokens"}
+
+    status, solo_short = _post(base + "/sample", req_short)
+    assert status == 200, solo_short
+    status, solo_long = _post(base + "/sample", req_long)
+    assert status == 200, solo_long
+
+    ex = ThreadPoolExecutor(max_workers=2)
+    service._sample_lock.acquire()
+    try:
+        fut_short = ex.submit(_post, base + "/sample", req_short)
+        fut_long = ex.submit(_post, base + "/sample", req_long)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with service._pending_lock:
+                if sum(len(v) for v in service._pending.values()) == 2:
+                    break
+            time.sleep(0.02)
+    finally:
+        service._sample_lock.release()
+    s1, got_short = fut_short.result(timeout=600)
+    s2, got_long = fut_long.result(timeout=600)
+    ex.shutdown()
+    assert s1 == 200 and s2 == 200
+    # one merged group despite different length buckets
+    assert got_short.get("coalesced") == 2 and got_long.get("coalesced") == 2
+    # per-request-seed determinism survives heterogeneous packing
+    assert got_short["tokens"] == solo_short["tokens"]
+    assert got_long["tokens"] == solo_long["tokens"]
