@@ -464,6 +464,94 @@ class EnsembleSampler:
         return self._split_rows(np.concatenate(outs, axis=0), lws, counts)
 
     # -- cross-length packed ddpm ----------------------------------------------
+    # Measured per-row step cost of the full-size int8 trunk on v5e
+    # (PERF.md length matrix: ms/step / rows at T=64..1024).  Slightly
+    # SUPERLINEAR in row width — packing two 124-token segments into one
+    # 256-wide row costs 4.99 ms vs 2 x 2.02 ms as native 128 rows — so
+    # max-width packing is NOT universally faster; the router below picks
+    # per-bucket batching vs heterogeneous packing by modeled cost.  Only
+    # the SHAPE of this curve matters (routing threshold), so it is safe
+    # for other model sizes up to routing suboptimality, never correctness.
+    _ROW_COST_POINTS = ((64, 1.12), (128, 2.02), (256, 4.99),
+                        (512, 10.8), (1024, 21.5))
+
+    @classmethod
+    def _row_step_cost(cls, T: int) -> float:
+        pts = cls._ROW_COST_POINTS
+        if T <= pts[0][0]:
+            return pts[0][1] * T / pts[0][0]
+        for (t0, c0), (t1, c1) in zip(pts, pts[1:]):
+            if T <= t1:
+                return c0 + (c1 - c0) * (T - t0) / (t1 - t0)
+        t1, c1 = pts[-1]
+        return c1 * T / t1
+
+    def _mixed_route(self, lws: Sequence[int], counts: Sequence[int],
+                     T: int) -> tuple[str, float, float]:
+        """('packed'|'split', packed_cost, split_cost) for a mixed group.
+
+        split: each bucket runs its own native batch; same-bucket packing to
+        PACK_TARGET_LEN (ops/packing.py) means a segment of bucket Lb shares
+        a W=max(Lb, 128)-wide row with W//Lb peers.
+        packed: FFD layout into T-wide rows.
+        """
+        from esmdiff_tpu.ops.packing import PACK_TARGET_LEN, plan_segment_rows
+
+        split = 0.0
+        for lw, c in zip(lws, counts):
+            Lb = bucket_length(lw)
+            W = max(Lb, PACK_TARGET_LEN)
+            split += c * self._row_step_cost(W) / max(1, W // Lb)
+        seg_lens = [lw for lw, c in zip(lws, counts) for _ in range(c)]
+        packed = len(plan_segment_rows(seg_lens, T)) * self._row_step_cost(T)
+        return ("packed" if packed < split * 0.98 else "split",
+                packed, split)
+
+    def ddpm_ensemble_mixed(
+        self,
+        sequences: Sequence[str],
+        counts: Sequence[int],
+        num_steps: int = 25,
+        eps: float = 1e-5,
+        seeds: Optional[Sequence[int]] = None,
+        max_batch: Optional[int] = None,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+    ) -> list[np.ndarray]:
+        """Cost-routed mixed-length coalescing (the serving entry point for
+        groups spanning length buckets).
+
+        Routes to :meth:`ddpm_ensemble_packed` (one heterogeneous (R, T)
+        program) when the modeled device cost beats per-bucket batching —
+        true for low-occupancy mixes where native buckets would run ragged
+        underfilled batches — and otherwise runs each bucket's sub-group
+        through :meth:`ddpm_ensemble_multi` (native row widths are cheaper
+        per token at high occupancy: the measured row cost is superlinear in
+        width).  Either way the whole group is planned together, so every
+        request's result lands when the group finishes.  Per-request seeds
+        keep draws traffic-independent in both routes."""
+        if seeds is None:
+            seeds = list(range(len(sequences)))
+        lws = [len(self.runtime.seq_tokenizer.encode(s)) for s in sequences]
+        T = max(128, bucket_length(max(lws), 64))
+        route, _, _ = self._mixed_route(lws, counts, T)
+        if route == "packed":
+            return self.ddpm_ensemble_packed(
+                sequences, counts, num_steps=num_steps, eps=eps,
+                seeds=seeds, budget=budget)
+        results: list = [None] * len(sequences)
+        by_bucket: dict[int, list[int]] = {}
+        for i, lw in enumerate(lws):
+            by_bucket.setdefault(bucket_length(lw), []).append(i)
+        for _, idxs in sorted(by_bucket.items()):
+            outs = self.ddpm_ensemble_multi(
+                [sequences[i] for i in idxs], [counts[i] for i in idxs],
+                num_steps=num_steps, eps=eps,
+                seeds=[seeds[i] for i in idxs], max_batch=max_batch,
+                budget=budget)
+            for i, o in zip(idxs, outs):
+                results[i] = o
+        return results
+
     def _ddpm_packed_fn(self, R: int, T: int, num_steps: int, eps: float,
                         sample_max_t: float):
         cache_key = ("packed", R, T, num_steps, eps, sample_max_t)

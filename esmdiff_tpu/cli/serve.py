@@ -98,9 +98,13 @@ class SamplerService:
     """Owns the runtime + sampler; serializes device access."""
 
     def __init__(self, sampler: EnsembleSampler, max_samples: int = 512,
-                 coalesce: bool = True):
+                 coalesce: bool = True, max_batch: int | None = None):
         self.sampler = sampler
         self.max_samples = max_samples
+        # batch-plan cap: keeps merged-group plans on the warmed bucket
+        # ladder (an unwarmed shape compiles mid-request — measured 17.7 s
+        # for a B=256 plan the 100-sample warmup never covered)
+        self.max_batch = max_batch
         # Two-phase device locking (VERDICT round 2 item 8): trunk sampling
         # and VQ decode hold SEPARATE locks, so request B's sampling program
         # enqueues on the device right behind request A's decode instead of
@@ -270,6 +274,7 @@ class SamplerService:
                     coordinates=(prior_prot.coordinates
                                  if mask_ids is not None else None),
                     mask_ids=mask_ids,
+                    max_batch=self.max_batch,
                 )
             elif mode == "ddpm":
                 structure_tokens = None
@@ -280,6 +285,7 @@ class SamplerService:
                     seq, n, num_steps=steps, seed=p["seed"],
                     mask_ids=mask_ids, structure_tokens=structure_tokens,
                     ref_compat=p["ref_compat"],
+                    max_batch=self.max_batch,
                 )
             else:  # eb
                 tokens = self.sampler.eb_ensemble(
@@ -287,6 +293,7 @@ class SamplerService:
                     entropy_budget=p["entropy_budget"],
                     temperature=p["temperature"], top_p=p["top_p"],
                     max_steps=steps * 8, seed=p["seed"],
+                    max_batch=self.max_batch,
                 )
         t_tokens = time.time() - t_dev
         prots = None
@@ -348,21 +355,24 @@ class SamplerService:
                             num_steps=p["steps"],
                             temperature=p["temperature"],
                             top_p=p["top_p"]),
-                        seeds=seeds)
+                        seeds=seeds, max_batch=self.max_batch)
                 else:
                     from esmdiff_tpu.api.generation import bucket_length
 
                     buckets = {bucket_length(len(s) + 2) for s in seqs}
                     if len(buckets) > 1:
-                        # mixed-length group -> ONE packed (R, T) program
-                        # instead of one serialized program per bucket
-                        toks_list = self.sampler.ddpm_ensemble_packed(
+                        # mixed-length group: cost-routed between ONE
+                        # heterogeneous packed program and per-bucket
+                        # batches planned together (generation.py router —
+                        # native widths win at high occupancy, packing at
+                        # low occupancy)
+                        toks_list = self.sampler.ddpm_ensemble_mixed(
                             seqs, counts, num_steps=p["steps"],
-                            seeds=seeds)
+                            seeds=seeds, max_batch=self.max_batch)
                     else:
                         toks_list = self.sampler.ddpm_ensemble_multi(
                             seqs, counts, num_steps=p["steps"],
-                            seeds=seeds)
+                            seeds=seeds, max_batch=self.max_batch)
                 t_tokens = time.time() - t_dev
             # phase 2 outside the sample lock: the next group's trunk
             # sampling can already enqueue on the device
@@ -516,6 +526,11 @@ def main(argv=None):
     # operator", so warmup precompiles the per-mode default /sample will use
     # (ddpm 25, gibbs 16) instead of string-sniffing argv (ADVICE round 2).
     p.add_argument("--num_steps", type=int, default=None)
+    # Batch-plan cap: keeps merged-group plans on the same bucket ladder the
+    # warmup compiled (with the sampler CLI's None default, a 3-request
+    # coalesced group planned an unwarmed B=256 program and compiled it
+    # mid-request — measured 17.7 s vs 8 s warm).
+    p.add_argument("--max_batch", type=int, default=64)
     args = p.parse_args(argv)
 
     from esmdiff_tpu.utils.compilation_cache import enable as _enable_cache
@@ -537,7 +552,8 @@ def main(argv=None):
         print(f"[mesh] sampling across {mesh.devices.size} device(s)")
     service = SamplerService(EnsembleSampler(runtime, mesh=mesh),
                              max_samples=args.max_samples,
-                             coalesce=args.coalesce == "on")
+                             coalesce=args.coalesce == "on",
+                             max_batch=args.max_batch)
     if args.warmup_lengths or args.warmup_packed:
         lengths = ([int(x) for x in args.warmup_lengths.split(",")]
                    if args.warmup_lengths else [])

@@ -345,9 +345,19 @@ def stage_train_vqvae(args):
     tr_idx, val_idx = _train_val_split(root, z["names"], rs)
 
     ecfg, dcfg = encoder_cfg(), decoder_cfg(args)
+    bbs_tr, lens_tr = bbs, lens
+    if args.synth:
+        # ENM decoys of TRAIN chains only (holdout untouched) — the data
+        # lever on the 224-chain generalization floor (VERDICT r5 item 6);
+        # train_vqvae trains on everything outside val_idx, so the expanded
+        # tail joins the train pool automatically
+        from esmdiff_tpu.train.conformers import synthesize_corpus
+
+        bbs_tr, lens_tr, _ = synthesize_corpus(
+            bbs, lens, tr_idx, args.synth, seed=SEED)
     t0 = time.time()
     res = train_vqvae(
-        ecfg, dcfg, bbs, lens, steps=args.steps, batch=args.batch,
+        ecfg, dcfg, bbs_tr, lens_tr, steps=args.steps, batch=args.batch,
         lr=args.lr, loss_cfg=VQLossConfig(recon=args.dec_loss),
         seed=SEED, val_idx=val_idx, log_every=500,
         augment=VQAugmentConfig() if args.aug else None)
@@ -905,6 +915,11 @@ def main(argv=None):
     p.add_argument("--aug", action="store_true",
                    help="crop/jitter/rotation augmentation for train_vqvae "
                         "(train/vqvae.VQAugmentConfig defaults)")
+    p.add_argument("--synth", type=int, default=0,
+                   help="ENM decoy conformers per TRAIN chain for "
+                        "train_vqvae (train/conformers.py) — scales the "
+                        "coordinate corpus past the 224-chain data floor; "
+                        "eval-holdout chains are never used")
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8"],
                    help="sampling quantization for full_eval (int8 parity "

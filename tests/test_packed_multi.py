@@ -93,3 +93,14 @@ def test_packed_single_request_roundtrip(sampler):
     assert out[0].shape == (4, len(SEQ_SHORT))
     # interior tokens are codebook entries (specials shielded)
     assert out[0].max() < 4096 and out[0].min() >= 0
+
+
+def test_mixed_route_cost_model(sampler):
+    """Router picks native per-bucket batches for high-occupancy mixes (row
+    cost is superlinear in width — measured PERF.md length matrix) and the
+    packed program for low-occupancy mixes."""
+    route, packed, split = sampler._mixed_route(
+        [62, 124, 252], [100, 100, 100], 256)
+    assert route == "split" and packed > split
+    route2, packed2, split2 = sampler._mixed_route([12, 43], [3, 2], 128)
+    assert route2 == "packed" and packed2 < split2
