@@ -38,6 +38,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", type=str, default="full",
                    choices=["full", "tiny"])
+    p.add_argument("--runtime_ckpt", type=str, default=None,
+                   help="Trained trunk checkpoint (orbax dir) providing the "
+                        "conditioning embeddings — the reference uses "
+                        "pretrained ESM3 for this (slm/sample_hf.py:38-87); "
+                        "the quality campaign passes its trained MDLM run.")
+    p.add_argument("--vqvae_ckpt", type=str, default=None,
+                   help="Trained VQ-VAE dir for token decode (pairs with "
+                        "--runtime_ckpt; campaign path).")
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8"],
                    help="int8 = W8A8 AR projections + heads (ops/quant.py); "
@@ -92,7 +100,17 @@ def main(argv=None):
     from esmdiff_tpu.models.vqvae import DecoderConfig, EncoderConfig
 
     # runtime (embeddings + VQ decode)
-    if args.model_scale == "tiny":
+    if args.runtime_ckpt or args.vqvae_ckpt:
+        if not args.runtime_ckpt:
+            raise SystemExit("--vqvae_ckpt needs --runtime_ckpt (the trunk "
+                             "providing conditioning embeddings)")
+        from esmdiff_tpu.convert.checkpoints import load_runtime
+
+        runtime = load_runtime(args.runtime_ckpt,
+                               vqvae_ckpt=args.vqvae_ckpt)
+        cond_dim = runtime.trunk.cfg.d_model
+        ar_kw, jlm_kw = {}, {}
+    elif args.model_scale == "tiny":
         runtime = ESM3Runtime.random_init(
             seed=args.seed, trunk_cfg=esm3_tiny(dtype="float32"),
             encoder_cfg=EncoderConfig(d_model=64, n_heads=2, v_heads=8,

@@ -614,6 +614,138 @@ def stage_sample(args):
 
 
 # ---------------------------------------------------------------------------
+# stage: ab_heads — MDLM vs CLM vs JLM on the same held-out targets
+# ---------------------------------------------------------------------------
+
+def stage_ab_heads(args):
+    """VERDICT round-5 item 7: the reference's core three-head comparison
+    (slm/sample_hf.py:301-327) through this framework's production
+    surfaces — CLM and JLM train on the SAME decontaminated encodings
+    (conditioning embeddings from the campaign-trained trunk, standing in
+    for the reference's pretrained ESM3, slm/models/utils.py:105-163),
+    sample the SAME held-out targets with the SAME budget as the MDLM, and
+    score through the same analyzer.  Writes report_ab.json."""
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    from esmdiff_tpu.cli.sample_ar import main as sample_ar_main
+    from esmdiff_tpu.convert.checkpoints import load_runtime
+    from esmdiff_tpu.core import constants as C
+    from esmdiff_tpu.core.tokenizer import SequenceTokenizer
+    from esmdiff_tpu.train.config import load_config
+    from esmdiff_tpu.train.loop import train as train_loop
+
+    root = out_root(args)
+    holdout = campaign_holdout(root)
+    runtime = load_runtime(str(root / "mdlm_run" / "ckpt"),
+                           vqvae_ckpt=str(root / "vqvae"))
+    z = np.load(root / "corpus.npz", allow_pickle=True)
+    tokens, lens = z["tokens"], z["lengths"]
+    names, seqs = z["names"], z["sequences"]
+    st = SequenceTokenizer()
+    enc_dir = root / "encodings_ab"
+    enc_dir.mkdir(exist_ok=True)
+    fwd = jax.jit(lambda p, s: runtime.trunk.apply(
+        {"params": p}, sequence_tokens=s))
+    n_written = 0
+    for i in range(len(names)):
+        if str(names[i]) in holdout:
+            continue
+        L = int(lens[i])
+        seq_toks = st.encode(str(seqs[i])).astype(np.int32)
+        struct = np.concatenate([
+            [C.STRUCTURE_BOS_TOKEN], tokens[i, :L],
+            [C.STRUCTURE_EOS_TOKEN]]).astype(np.int32)
+        emb = np.asarray(fwd(runtime.trunk_params,
+                             jnp.asarray(seq_toks)[None]).embeddings[0],
+                         np.float32)
+        np.savez_compressed(enc_dir / f"{names[i]}.npz",
+                            sequence_tokens=seq_toks,
+                            structure_tokens=struct, embeddings=emb)
+        n_written += 1
+    print(f"[ab] {n_written} embedding encodings -> {enc_dir} "
+          f"(holdout excluded)", flush=True)
+
+    # mid-scale AR heads (from-scratch training on ~230 chains — modest
+    # capacity; the reference fine-tunes pretrained HF nets instead)
+    geo = {
+        "clm": ["model.clm.d_model=512", "model.clm.d_ff=1024",
+                "model.clm.n_layers=6", "model.clm.n_heads=8"],
+        "jlm": ["model.jlm.n_embd=512", "model.jlm.n_layers=6",
+                "model.jlm.n_heads=8"],
+    }
+    for task in ("clm", "jlm"):
+        run_dir = root / f"{task}_run"
+        overrides = geo[task] + [
+            f"data.path={enc_dir}", f"data.batch_size={args.batch}",
+            f"data.max_len={PAD_L + 2}", "data.with_embeddings=true",
+            "data.bucket_multiple=64",
+            "optim.lr=3e-4", "optim.warmup_steps=200",
+            f"trainer.max_epochs={args.epochs}",
+            "trainer.log_every_n_steps=50",
+            "trainer.early_stopping_patience=40",
+            f"trainer.ckpt_dir={run_dir}",
+        ]
+        cfg = load_config(f"configs/{task}.yaml", overrides)
+        t0 = time.time()
+        result = train_loop(cfg)
+        print(f"[ab:{task}] best val loss {result['best_val_loss']:.4f} "
+              f"after {result['steps']} steps ({time.time() - t0:.0f}s)",
+              flush=True)
+
+    targets = pick_eval_targets(root, args.per_family)
+    for task in ("clm", "jlm"):
+        run_dir = root / f"{task}_run"
+        for fam in FAMILIES:
+            fam_targets = [t for t, f in targets if f == fam]
+            if not fam_targets:
+                continue
+            in_dir = root / "eval_targets" / fam
+            in_dir.mkdir(parents=True, exist_ok=True)
+            for t in fam_targets:
+                shutil.copy(TARGETS_ROOT / fam / f"{t}.pdb",
+                            in_dir / f"{t}.pdb")
+            argv = [
+                "--input", str(in_dir),
+                "--output", str(root / "samples_ab" / task / fam),
+                "--model_type", task,
+                "--ckpt", str(run_dir / "ckpt"),
+                "--config", str(run_dir / "config.yaml"),
+                "--runtime_ckpt", str(root / "mdlm_run" / "ckpt"),
+                "--vqvae_ckpt", str(root / "vqvae"),
+                "--n_samples", str(args.num_samples),
+            ]
+            print(f"[ab:{task}] esmdiff-sample-ar {' '.join(argv)}",
+                  flush=True)
+            sample_ar_main(argv)
+
+    report = {}
+    for task in ("clm", "jlm"):
+        rows = _score_ensemble_dirs(root / "samples_ab" / task, holdout,
+                                    force_seen=False)
+        report[task] = {"per_target": rows}
+        ok = [r for r in rows if "error" not in r]
+        for fam in FAMILIES:
+            fr = [r for r in ok if r["family"] == fam]
+            if fr:
+                report[task][fam] = _family_aggregate(fr)
+    main_rep = root / "report.json"
+    if main_rep.exists():  # MDLM numbers on the identical targets
+        mr = json.loads(main_rep.read_text())
+        report["mdlm"] = {k: v for k, v in mr.items()
+                          if k != "per_target" and not k.endswith("/seen")}
+    (root / "report_ab.json").write_text(
+        json.dumps(report, indent=2, default=float))
+    summary = {h: {k: v.get("tm_ens_mean") for k, v in report[h].items()
+                   if isinstance(v, dict) and "tm_ens_mean" in v}
+               for h in report}
+    print(json.dumps(summary, indent=2))
+    print(f"[ab] -> {root / 'report_ab.json'}")
+
+
+# ---------------------------------------------------------------------------
 # stage: steps_quality — denoising-steps vs ensemble-quality tradeoff
 # ---------------------------------------------------------------------------
 
@@ -873,8 +1005,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("stage", choices=["prepare", "train_decoder",
                                      "train_vqvae", "dump", "train_mdlm",
-                                     "sample", "analyze", "steps_quality",
-                                     "full_eval", "all"])
+                                     "sample", "analyze", "ab_heads",
+                                     "steps_quality", "full_eval", "all"])
     p.add_argument("--out", type=str, default="output/campaign")
     p.add_argument("--steps", type=int, default=12000,
                    help="decoder train steps")
