@@ -108,7 +108,13 @@ def warm_buckets(fns: dict, params) -> tuple[float, dict]:
     cache-load, and first-execute seconds, so the bench JSON's first_call_s
     has an accounting that sums to the wall (VERDICT round-4 weak #1).  The
     AOT-compiled executables replace the jit dispatch path for the timing
-    sweep (same programs, no retrace)."""
+    sweep (same programs, no retrace).
+
+    Backend caveat: on the tunneled axon runtime a cache MISS makes
+    ``.compile()`` return quickly (server-side async compile) and the cost
+    lands in first_exec_s — on a cache miss read first_exec as
+    "compile completion + run" (measured 218 s fresh vs 0.3-1.3 s on a
+    hit; the compile_cache counters in the JSON say which happened)."""
     import concurrent.futures as cf
 
     import jax
