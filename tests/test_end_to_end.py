@@ -1,6 +1,8 @@
 """End-to-end slice: BPTI -> tokens -> ensemble -> multi-MODEL PDB
 (BASELINE.json config #1, tiny trunk on CPU)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -327,3 +329,24 @@ def test_multi_rejects_mixed_buckets(gibbs_runtime):
     with pytest.raises(ValueError, match="length bucket"):
         s.gibbs_ensemble_multi([SEQ_A, long_seq], [1, 1],
                                config=GenerationConfig(num_steps=2))
+
+
+def test_sample_cli_refine_writes_valid_geometry(tmp_path):
+    """--refine (ops/refine.py through cli/sample.py): the written ensemble
+    passes the reference bond/clash validity metrics even at a random-weight
+    decode floor."""
+    from esmdiff_tpu.cli.sample import main as sample_main
+    from esmdiff_tpu.core.protein import load_ca_ensemble
+    from esmdiff_tpu.eval import metrics
+
+    out = tmp_path / "refined"
+    sample_main([
+        "--input", str(Path(BPTI).parent), "--output", str(out),
+        "--mode", "ddpm", "--num_steps", "2", "--num_samples", "2",
+        "--model_scale", "tiny", "--refine",
+    ])
+    ca = load_ca_ensemble(out / "bpti.pdb")
+    assert ca.shape[0] == 2
+    assert metrics.validity({"p": ca})["p"] == 1.0
+    adj = np.linalg.norm(np.diff(ca, axis=1), axis=-1)
+    assert adj.max() < 4.01 and adj.min() > 3.5
