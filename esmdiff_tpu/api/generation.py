@@ -822,6 +822,39 @@ class EnsembleSampler:
             start += B
         return self._split_rows(np.concatenate(outs, axis=0), lws, counts)
 
+    def gibbs_ensemble_mixed(
+        self,
+        sequences: Sequence[str],
+        counts: Sequence[int],
+        config: GenerationConfig = GenerationConfig(),
+        seeds: Optional[Sequence[int]] = None,
+        max_batch: Optional[int] = None,
+        budget: int = N_MAX_RESIDUE_SQUARE,
+    ) -> list[np.ndarray]:
+        """Mixed-length gibbs coalescing: per-bucket sub-groups planned as
+        one group (requests spanning buckets no longer split into separate
+        serving groups).  Gibbs keeps the per-bucket route unconditionally:
+        the measured row-cost curve already favors native widths at
+        saturation (see ddpm_ensemble_mixed), and the confidence-ranked
+        unmask quotas are per ROW — a heterogeneous packed variant would
+        need per-segment quota bookkeeping for a regime the router would
+        rarely choose."""
+        if seeds is None:
+            seeds = list(range(len(sequences)))
+        results: list = [None] * len(sequences)
+        by_bucket: dict[int, list[int]] = {}
+        for i, s in enumerate(sequences):
+            lw = len(self.runtime.seq_tokenizer.encode(s))
+            by_bucket.setdefault(bucket_length(lw), []).append(i)
+        for _, idxs in sorted(by_bucket.items()):
+            outs = self.gibbs_ensemble_multi(
+                [sequences[i] for i in idxs], [counts[i] for i in idxs],
+                config=config, seeds=[seeds[i] for i in idxs],
+                max_batch=max_batch, budget=budget)
+            for i, o in zip(idxs, outs):
+                results[i] = o
+        return results
+
     # -- entropy-bounded adaptive unmasking ------------------------------------
     def eb_ensemble(
         self,

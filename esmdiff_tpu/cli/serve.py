@@ -309,19 +309,12 @@ class SamplerService:
         leads: it acquires the sample lock (requests pile up behind the
         in-flight device work), drains everything compatible that queued
         meanwhile, and runs ONE merged batch plan for the group."""
-        from esmdiff_tpu.api.generation import bucket_length
-
         item = _Pending(p["seq"], p["n"], p["fmt"], p["seed"])
-        # ddpm groups across length buckets: the cross-length packed engine
-        # (api/generation.ddpm_ensemble_packed) co-batches mixed-length
-        # requests into shared segment-masked rows, so the bucket is not a
-        # compatibility constraint anymore (round-4 SLO gap: cross-bucket
-        # requests serialized).  gibbs still coalesces per bucket.
-        # +2: BOS/EOS ride along in the tokenized length
-        bucket = (None if p["mode"] == "ddpm"
-                  else bucket_length(len(p["seq"]) + 2))
-        gkey = (p["mode"], bucket, p["steps"],
-                p["temperature"], p["top_p"])
+        # groups span length buckets for BOTH modes (round-4 SLO gap:
+        # cross-bucket requests serialized): ddpm routes through the
+        # cost-based packed/split engine, gibbs through per-bucket
+        # sub-batches planned as one group (generation.py *_mixed)
+        gkey = (p["mode"], p["steps"], p["temperature"], p["top_p"])
         with self._pending_lock:
             q = self._pending.setdefault(gkey, [])
             q.append(item)
@@ -349,7 +342,7 @@ class SamplerService:
                 counts = [it.n for it in group]
                 seeds = [it.seed for it in group]  # per-request determinism
                 if p["mode"] == "gibbs":
-                    toks_list = self.sampler.gibbs_ensemble_multi(
+                    toks_list = self.sampler.gibbs_ensemble_mixed(
                         seqs, counts,
                         config=GenerationConfig(
                             num_steps=p["steps"],
