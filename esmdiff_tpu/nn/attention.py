@@ -17,14 +17,21 @@ Masking contract:
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
-# In-scan measurements on v5e (PERF.md round-2 tables): XLA's fused attention
-# beats the Pallas kernel until ~1k tokens even after the round-2 kernel
-# tuning (L=256: 360 vs 486 ms/step, L=512: 202.5 vs 209, L=1024: 128 vs
-# 107.5) — protein chains are bounded at ~1k, so flash engages only at the
-# top of the range.
-_FLASH_MIN_LEN = 1024
+# In-scan measurements on v5e: the round-5 GROUPED Pallas kernel (G
+# batch*head slices per program, ops/flash_attention._pick_group) moved the
+# crossover down to 512 — in-trunk full-size sweeps (scripts/attn_sweep.py)
+# measure flash 195.9 vs XLA 202.7 ms/step at L=512 B=16 and pure-op wins of
+# 1.8x at L=512 / 2.0x at L=1024 (scripts/attn_kernel_bench.py).  At L=256
+# XLA still wins in-trunk (360.8 vs 385.2): the op-level win (1.54 vs 1.96
+# ms) is smaller than the 4 layout copies the pallas_call forces around
+# itself — (B,L,H,Dh)->(B*H,L,Dh) transposes XLA fuses away on its own path
+# but must materialize for the kernel (PERF.md round-5 kernel table).
+# ESMDIFF_FLASH_MIN_LEN overrides for experiments.
+_FLASH_MIN_LEN = int(os.environ.get("ESMDIFF_FLASH_MIN_LEN", "512"))
 
 
 def dot_product_attention(

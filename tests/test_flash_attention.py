@@ -84,3 +84,31 @@ def test_bf16():
     out = flash_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_group_parity_and_ragged_rows():
+    """G>1 grouping (the L=256-512 amortization) is bitwise-equivalent to
+    G=1 per-slice programs, including when B*H is not a multiple of G
+    (pad rows are all-masked and discarded)."""
+    # B*H = 3*5 = 15, not a multiple of 4
+    q, k, v = _qkv(B=3, L=128, H=5, seed=3)
+    lengths = jnp.asarray([128, 77, 130], jnp.int32)  # one > L clamps to L
+    base = flash_attention(q, k, v, lengths=lengths, group=1, interpret=True)
+    grouped = flash_attention(q, k, v, lengths=lengths, group=4,
+                              interpret=True)
+    for b in range(3):
+        Lb = min(int(lengths[b]), 128)
+        np.testing.assert_array_equal(
+            np.asarray(base)[b, :Lb], np.asarray(grouped)[b, :Lb])
+
+
+def test_auto_group_sizing():
+    from esmdiff_tpu.ops.flash_attention import _pick_group
+
+    # measured on-chip winners at the bench-matrix shapes (H=24)
+    assert _pick_group(256, 256, 64 * 24) == 24
+    assert _pick_group(512, 512, 16 * 24) == 8
+    assert _pick_group(512, 1024, 4 * 24) == 4
+    assert _pick_group(1024, 4096, 24) == 1
+    # bh with no small divisor falls back to a padded power of two
+    assert _pick_group(256, 256, 7) == 16

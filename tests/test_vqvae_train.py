@@ -160,8 +160,10 @@ def test_cli_trains_and_sampler_loads(tmp_path):
 
 def test_cli_multi_input_same_basename_no_collision(tmp_path):
     """Two --input dirs sharing a basename (runA/targets, runB/targets) must
-    not collide into one output subdir: the second gets a disambiguated
-    `targets.1/` and both targets' ensembles are written (cli/sample.py)."""
+    not collide into one output subdir: each gets a parent-qualified subdir
+    (`runA--targets/`, `runB--targets/`) derived from its resolved path —
+    NOT encounter order, so a --skip_existing resume with the dirs reordered
+    maps every dir to the same subdir (round-4 advisor; cli/sample.py)."""
     from esmdiff_tpu.cli.sample import main as sample_main
     from esmdiff_tpu.core import protein as protein_io
 
@@ -178,11 +180,18 @@ def test_cli_multi_input_same_basename_no_collision(tmp_path):
     sample_main(["--input", str(dirs[0]), str(dirs[1]), "--output", str(out),
                  "--mode", "ddpm", "--num_steps", "2", "--num_samples", "1",
                  "--model_scale", "tiny"])
-    assert (out / "targets" / "c0.pdb").exists()
-    assert (out / "targets.1" / "c0.pdb").exists()
+    assert (out / "runA--targets" / "c0.pdb").exists()
+    assert (out / "runB--targets" / "c0.pdb").exists()
     report = json.loads((out / "timings.json").read_text())
     keys = {r["key"] for r in report}
-    assert keys == {"targets/c0", "targets.1/c0"}
+    assert keys == {"runA--targets/c0", "runB--targets/c0"}
+    # order-independence: reversed --input order maps to the SAME subdirs
+    out2 = tmp_path / "out2"
+    sample_main(["--input", str(dirs[1]), str(dirs[0]), "--output",
+                 str(out2), "--mode", "ddpm", "--num_steps", "2",
+                 "--num_samples", "1", "--model_scale", "tiny"])
+    assert (out2 / "runA--targets" / "c0.pdb").exists()
+    assert (out2 / "runB--targets" / "c0.pdb").exists()
 
 
 def test_restart_dead_codes():
